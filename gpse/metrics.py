@@ -1,0 +1,34 @@
+"""Per-partition, per-round fetch/parse metrics (D5).
+
+Capability parity: north_star — "emitting per-partition fetch/parse
+metrics". partition_id is captured inside the mapInPandas fetcher (the
+real task partition), so the metrics table reflects the actual salted
+layout — skew is directly visible as per-partition byte/count variance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METRICS_SCHEMA = (
+    "round int, partition_id int, n_fetched long, n_ok long, n_err long, "
+    "n_parse_ok long, n_links_out long, bytes_in long, max_sched_offset_ms long"
+)
+
+
+def round_metrics(parsed: DataFrame, round_n: int) -> DataFrame:
+    """Aggregate the round's fetched+parsed batch by fetch partition."""
+    return (
+        parsed.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("n_err"),
+            F.sum(F.when(F.length("text") > 0, 1).otherwise(0)).alias("n_parse_ok"),
+            F.sum(F.coalesce(F.size("links"), F.lit(0)).cast("long")).alias("n_links_out"),
+            F.sum("bytes").alias("bytes_in"),
+            F.max("sched_offset_ms").alias("max_sched_offset_ms"),
+        )
+        .select(F.lit(round_n).cast("int").alias("round"), "*")
+    )

@@ -1,0 +1,77 @@
+"""Text analysis for web-scale training-data pipelines — pure Column
+expressions (JVM-side, whole-stage-codegen'd; zero Python in the hot path).
+
+Covers the pipeline ops the engine must offer over a crawled corpus:
+language-ID (stopword-ratio heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + word-regex), and document
+fingerprinting. Each has a matching ANSI-SQL oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny, fixed stopword lists — deterministic heuristic, not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"],
+    "pl": ["i", "nie", "to", "się", "jest", "na", "z", "do", "że", "ale"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "para", "con"],
+    "zh": [],  # no-space script: heuristic falls through to 'und'
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish word/number/punct token count via regex (a proxy for
+    tokenizer cost estimation at corpus scale)."""
+    cleaned = F.regexp_replace(text, r"[A-Za-z]+|[0-9]+", " W ")
+    return F.size(F.filter(F.split(cleaned, r"\s+"), lambda t: t != F.lit("")))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    return (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def lang_id(text: Column, langs: list[str] | None = None) -> Column:
+    """argmax of per-language stopword ratio; 'und' if all zero."""
+    langs = langs or ["en", "de", "fr", "pl", "es"]
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lg in langs:
+        s = stopword_ratio(text, lg)
+        cond = s > best_score
+        best = F.when(cond, F.lit(lg)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}]", ""))
+    return (n_punct / F.greatest(F.length(text), F.lit(1))).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic: long enough, word-y, not punctuation soup.
+    Deterministic composition of the ratios above."""
+    len_ok = F.least(F.length(text) / F.lit(200.0), F.lit(1.0))
+    word_ok = F.least(token_count(text) / F.lit(40.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    return ((len_ok + word_ok + punct_pen) / 3.0).cast("double")
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable document fingerprint (md5 hex — oracle-matchable in DuckDB)."""
+    return F.md5(F.encode(text, "UTF-8"))

@@ -1,0 +1,116 @@
+"""URL canonicalization — the heart of the engine (SURVEY.md §2.8).
+
+Capability parity: BASELINE.json north_star names the exact op list —
+"URL normalization (scheme/host lowercasing, query canonicalization,
+fragment stripping)" keyed by "canonicalized URL hash".
+
+Canonicalization spec (frozen; golden tests depend on it):
+  1. scheme and host lowercased
+  2. default port stripped (http:80, https:443)
+  3. fragment removed
+  4. query parameters parsed, sorted by (key, value) stably, re-encoded;
+     empty query drops the '?'
+  5. path dot-segments removed (RFC 3986 §5.2.4); empty path -> '/'
+  6. percent-encodings: unreserved characters decoded, remaining escapes
+     uppercased (via quote(unquote(...)) round-trip with a fixed safe set)
+  7. leading/trailing whitespace stripped
+
+Implemented as vectorized pandas UDFs (Arrow batches — no per-row Python
+at the Spark level). The 64-bit dedup key is computed JVM-side with the
+built-in ``xxhash64`` so it never leaves whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote, unquote, urlsplit, urlunsplit, parse_qsl, urlencode, urljoin
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.functions import pandas_udf
+
+_SAFE_PATH = "/:@!$&'()*+,;=~-._"
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _remove_dot_segments(path: str) -> str:
+    # RFC 3986 §5.2.4
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(seg)
+    norm = "/".join(out)
+    if path.startswith("/") and not norm.startswith("/"):
+        norm = "/" + norm
+    return norm
+
+
+def canonicalize_one(url: str) -> str:
+    """Canonicalize a single URL (pure Python; the pandas UDF maps this
+    over an Arrow batch). Kept importable for unit/property tests."""
+    if url is None:
+        return None
+    u = url.strip()
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return u
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    # IDNA hosts stay as-is (bytes-level determinism; no network).
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    if parts.username:
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = _remove_dot_segments(parts.path) or "/"
+    path = quote(unquote(path), safe=_SAFE_PATH)
+    qsl = parse_qsl(parts.query, keep_blank_values=True)
+    query = urlencode(sorted(qsl)) if qsl else ""
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def resolve_one(base: str, href: str) -> str | None:
+    """Resolve an href against a base URL; http(s) only, else None."""
+    if href is None:
+        return None
+    href = href.strip()
+    if not href or href.startswith(("javascript:", "mailto:", "data:", "#")):
+        return None
+    try:
+        joined = urljoin(base, href)
+    except ValueError:
+        return None
+    if not joined.startswith(("http://", "https://")):
+        return None
+    return canonicalize_one(joined)
+
+
+@pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_one, na_action="ignore")
+
+
+def extract_host(url: Column) -> Column:
+    """Registrable host of an (already canonical) URL — pure JVM built-ins
+    (parse_url stays inside whole-stage codegen; no Python round-trip)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add canonical url, url_hash (xxhash64, JVM-side) and host columns."""
+    out = df.withColumn(url_col, canonicalize_udf(F.col(url_col)))
+    return (
+        out.withColumn("url_hash", F.xxhash64(F.col(url_col)))
+        .withColumn("host", extract_host(F.col(url_col)))
+    )

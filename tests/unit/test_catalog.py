@@ -1,0 +1,50 @@
+"""Iceberg-semantics catalog: atomic commits, append vs overwrite,
+time-travel by round (SURVEY.md §7.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gpse.catalog import Catalog
+
+
+def test_commit_load_roundtrip(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    df = spark.range(10).withColumnRenamed("id", "x")
+    cat.commit("t", df, 0)
+    assert cat.load(spark, "t").count() == 10
+
+
+def test_append_accumulates_overwrite_replaces(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.commit("t", spark.range(5), 0, mode="append")
+    cat.commit("t", spark.range(7), 1, mode="append")
+    assert cat.load(spark, "t").count() == 12
+    cat.commit("t", spark.range(3), 2, mode="overwrite")
+    assert cat.load(spark, "t").count() == 3
+
+
+def test_time_travel_by_round(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.commit("t", spark.range(5), 0, mode="append")
+    cat.commit("t", spark.range(7), 1, mode="append")
+    cat.commit("t", spark.range(11), 2, mode="append")
+    assert cat.load(spark, "t", round=0).count() == 5
+    assert cat.load(spark, "t", round=1).count() == 12
+    assert cat.load(spark, "t", round=2).count() == 23
+    assert cat.latest_round("t") == 2
+
+
+def test_missing_table_raises(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    with pytest.raises(KeyError):
+        cat.load(spark, "nope")
+
+
+def test_snapshot_log_visible(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.commit("a", spark.range(1), 0)
+    cat.commit("b", spark.range(1), 0)
+    snaps = cat.snapshots()
+    assert {s["table"] for s in snaps} == {"a", "b"}
+    assert all(s["snapshot_id"] for s in snaps)
