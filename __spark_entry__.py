@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship multi-operator query on /root/testdata/sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-data pipeline ops); each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — matching ANSI SQL for DuckDB (omitted only for genuinely
+                non-SQL-expressible ops: approximate sketches, float-rank
+                top-k, and the crawl composites that run the engine loop).
+
+Column-name discipline: every computed column is aliased identically in the
+Spark plan and the SQL so the driver's order-insensitive value-hash lines up.
+Float outputs are rounded on BOTH sides (cross-engine summation order).
 """
 
 from __future__ import annotations
@@ -12,27 +17,218 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from gpse import pipeline as _pipeline
+from gpse import queries as _queries
+from gpse import textfuncs
+from gpse.urlnorm import canonicalize_udf
+
+
+# --------------------------------------------------------------------------
+# crawl-domain oracle-checkable queries (URL ops over driver tables)
+# --------------------------------------------------------------------------
+
+def _dirty_urls(spark, sf):
+    """Deterministic dirty URL per document — uppercase scheme/host, default
+    port, unsorted query, fragment — whose canonical form is constructible
+    in plain SQL."""
+    d = _queries.T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://H"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".EXAMPLE:80/x/../p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("dirty_url"),
+    )
+
+
+def q_url_canonicalize(spark, sf):
+    """Full canonicalization pipeline (scheme/host lowercase, default-port
+    strip, dot-segment removal, query sort, fragment strip) — the
+    north_star's URL-normalization op list, value-checked against SQL."""
+    return (
+        _dirty_urls(spark, sf)
+        .select("doc_id", canonicalize_udf(F.col("dirty_url")).alias("url"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_URL_CANON = """
+SELECT doc_id,
+       'http://h' || (doc_id % 7) || '.example/p/' || doc_id || '?a=1&b=2' AS url
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_url_dedup(spark, sf):
+    """3 dirty spellings per URL → canonical distinct count == one per doc
+    (the seen-set dedup semantics on canonical strings)."""
+    d = _queries.T(spark, sf, "documents")
+    variants = d.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("http://h1.example/p/"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("HTTP://H1.EXAMPLE/p/"), F.col("doc_id").cast("string")),
+                F.concat(
+                    F.lit("http://h1.example:80/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("#f"),
+                ),
+            )
+        ).alias("raw_url")
+    )
+    canon = variants.select(canonicalize_udf(F.col("raw_url")).alias("url"))
+    return canon.agg(
+        F.count("*").alias("n_variants"),
+        F.countDistinct("url").alias("n_distinct"),
+    )
+
+
+SQL_URL_DEDUP = """
+WITH v AS (
+  SELECT unnest(['http://h1.example/p/' || doc_id,
+                 'http://h1.example/p/' || doc_id,
+                 'http://h1.example/p/' || doc_id]) AS url
+  FROM documents)
+SELECT count(*) AS n_variants, count(DISTINCT url) AS n_distinct FROM v
+"""
+
+
+def q_host_extract(spark, sf):
+    """parse_url host extraction + per-host grouping (JVM-side)."""
+    d = _queries.T(spark, sf, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.org/a/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return (
+        urls.select(F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy("host")
+    )
+
+
+SQL_HOST_EXTRACT = """
+SELECT 'site' || (doc_id % 13) || '.example.org' AS host, count(*) AS n_urls
+FROM documents GROUP BY 1 ORDER BY host
+"""
+
+
+# --------------------------------------------------------------------------
+# crawl composites (engine loop — rows-only checks; the DuckDB views can't
+# run a crawl, but determinism is separately pinned by tests/golden)
+# --------------------------------------------------------------------------
+
+_CRAWL_CORPUS = None  # lazy import to keep module import light
+
+
+def q_crawl_schedule(spark, sf):
+    """schedule_batch over the synthetic round-0 frontier: broadcast robots
+    join, per-host budget window, priority-order batch pick."""
+    from gpse import frontier, robots, synth
+
+    cfg = synth.CorpusCfg(n_pages=400, n_hosts=25, seed=42)
+    f0 = frontier.from_seeds(spark, synth.seed_urls(cfg), n_salts=4)
+    policy = robots.build_host_policy(synth.gen_robots(spark, cfg))
+    sched, _ = frontier.schedule_batch(f0, policy, batch_size=100, num_partitions=4)
+    return sched.select("url", "host", "priority", "depth").orderBy("priority", "url")
+
+
+def q_crawl_round(spark, sf):
+    """One full crawl round end-to-end (fetch→parse→extract→dedup→commit)
+    in a temp catalog; returns the per-partition metrics table."""
+    import tempfile
+
+    from gpse import crawl, synth
+    from gpse.catalog import Catalog
+
+    cfg = crawl.CrawlCfg(
+        corpus=synth.CorpusCfg(n_pages=400, n_hosts=25, seed=42),
+        batch_size=100,
+        num_partitions=4,
+        n_salts=4,
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="gpse_entryq_"))
+    crawl.run(spark, cat, cfg, 1)
+    return cat.load(spark, "metrics").orderBy("partition_id")
+
+
+def q_extract_text(spark, sf):
+    """Vectorized HTML→text/links extraction over the synthetic corpus
+    (the byte-identical invariant path; golden-pinned in tests)."""
+    from gpse import synth
+    from gpse.extract import parse_extract
+
+    cfg = synth.CorpusCfg(n_pages=200, n_hosts=20, seed=42)
+    pages = synth.gen_pages(spark, cfg, partitions=4).drop("text")
+    return (
+        parse_extract(pages)
+        .select(
+            "url",
+            F.length("text").alias("text_len"),
+            F.size("links").alias("n_links"),
+            textfuncs.fingerprint(F.col("text")).alias("text_fp"),
+        )
+        .orderBy("url")
+    )
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus quality report over sf0.001 — canonicalization +
+    language-ID + quality scoring + dedup fingerprints + agg in one plan."""
+    sf = "/root/testdata/sf0.001"
+    d = _queries.T(spark, sf, "documents")
+    report = (
+        d.withColumn("lang_pred", textfuncs.lang_id(F.col("text")))
+        .withColumn("quality", textfuncs.quality_score(F.col("text")))
+        .withColumn("fp", textfuncs.fingerprint(F.col("text")))
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg(textfuncs.token_count(F.col("text"))), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang_pred")
+    )
+    return report
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name, (fn, _) in {**_queries.QUERIES, **_pipeline.QUERIES}.items():
+        out[name] = fn
+    out["url_canonicalize"] = q_url_canonicalize
+    out["url_dedup"] = q_url_dedup
+    out["host_extract"] = q_host_extract
+    out["crawl_schedule"] = q_crawl_schedule
+    out["crawl_round"] = q_crawl_round
+    out["extract_text"] = q_extract_text
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, (_, sql) in {**_queries.QUERIES, **_pipeline.QUERIES}.items():
+        if sql is not None:
+            out[name] = sql
+    out["url_canonicalize"] = SQL_URL_CANON
+    out["url_dedup"] = SQL_URL_DEDUP
+    out["host_extract"] = SQL_HOST_EXTRACT
+    # crawl_schedule / crawl_round / extract_text: engine composites —
+    # rows-only (their determinism is pinned by tests/golden instead)
+    return out

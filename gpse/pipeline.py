@@ -1,0 +1,577 @@
+"""Training-data pipeline operators over a crawled corpus (task brief:
+first-class alongside SURVEY.md §2): deduplication (exact, MinHash+LSH,
+SimHash, n-gram Jaccard), similarity search (brute-force + LSH-bucketed
+cosine), and text analysis (lang-ID, quality, token counts, fingerprints).
+
+Everything is a declarative DataFrame plan over JVM built-ins (split /
+transform / aggregate / explode / groupBy / join) — zero Python UDFs — so
+each op is also expressible in ANSI SQL and oracle-checked against DuckDB.
+Hash primitives are md5-based (identical in both engines), NOT xxhash64
+(engine-specific), precisely so the oracle can verify the full
+shingle→minhash→band→bucket-join pipeline value-for-value.
+
+Scale notes (100 TB design point):
+  * shingling/minhash: one explode + one groupBy per doc — shuffle keyed on
+    doc_id, partial aggs map-side combined;
+  * LSH candidate pairs: self-join on (band, hash) — only colliding buckets
+    shuffle, never the n² cross join;
+  * brute-force cosine is the *baseline* (correct at any scale, quadratic
+    cost); the LSH-bucketed variant is the scale path (bucket-local joins).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpse import textfuncs
+from gpse.queries import T
+
+MINHASH_K = 8          # permutations
+LSH_BANDS = 4          # bands of 2 rows each
+SIMHASH_BITS = 16      # md5-nibble parity bits
+_HEX = "0123456789abcdef"
+
+
+# --------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard) — 3-token shingles, JVM-side
+# --------------------------------------------------------------------------
+
+def _tokens(col):
+    return F.split(F.col(col), " ")
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """3-token shingles via sequence+transform (1-based element_at — the
+    DuckDB mirror uses 1-based list indexing too)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return docs.withColumn("shingles", F.array_distinct(sh))
+
+
+SQL_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> concat_ws(' ', string_split(text, ' ')[i],
+                               string_split(text, ' ')[i+1],
+                               string_split(text, ' ')[i+2])
+         )) AS shingles
+  FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: md5 fingerprint → keep min doc_id per group, report
+    group sizes (hash-groupBy; the 10^10-scale path is the same plan)."""
+    d = T(spark, sf, "documents")
+    return (
+        d.withColumn("fp", textfuncs.fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """K min-hash values per doc: permutation k ≙ md5('k:' || shingle),
+    min taken lexicographically (md5 hex is fixed-width, so lexicographic
+    min == numeric min). explode → K parallel min-aggs, one shuffle."""
+    ex = with_shingles(docs).select("doc_id", F.explode("shingles").alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
+        for k in range(MINHASH_K)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_inner() -> str:
+    aggs = ",\n         ".join(
+        f"min(md5('{k}:' || sh)) AS mh{k}" for k in range(MINHASH_K)
+    )
+    return f"""
+  WITH shingled AS ({SQL_SHINGLES}),
+  exploded AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
+  SELECT doc_id, {aggs} FROM exploded GROUP BY doc_id
+"""
+
+
+def q_minhash_signatures(spark, sf):
+    return minhash_signatures(T(spark, sf, "documents")).orderBy("doc_id")
+
+
+SQL_MINHASH = _sql_minhash_inner() + " ORDER BY doc_id"
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the K signatures (rows=K/bands per band), bucket-join on
+    (band_id, band_hash): only colliding buckets meet — the n²-free path."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return lsh_candidate_pairs(minhash_signatures(T(spark, sf, "documents"))).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _sql_lsh() -> str:
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sigs AS ({_sql_minhash_inner()}),
+banded AS (
+  SELECT doc_id, u.band_id - 1 AS band_id, u.band_hash
+  FROM sigs, LATERAL (
+    SELECT generate_subscripts([{band_exprs}], 1) AS band_id,
+           unnest([{band_exprs}]) AS band_hash) u)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_LSH = _sql_lsh()
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup scores
+# --------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Exact Jaccard over 3-gram shingle sets for pairs sharing ≥1 shingle:
+    explode → self-join on shingle → pair-intersection counts → |A∪B| from
+    per-doc sizes. Only co-shingled pairs ever shuffle."""
+    d = T(spark, sf, "documents")
+    sh = with_shingles(d).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 5),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_JACCARD = f"""
+WITH shingled AS ({SQL_SHINGLES}),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, round(inter / (na + nb - inter), 5) AS jaccard
+FROM pairs WHERE round(inter / (na + nb - inter), 5) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash from token md5 nibble parities: bit j of a token is
+    parity(md5(token)[j]); doc bit j set iff sum over tokens of ±1 > 0.
+    Pure relational ops (explode + 16 conditional sums) → SQL-mirrorable."""
+    ex = docs.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
+    ex = ex.withColumn("h", F.md5(F.col("tok")))
+    sums = [
+        F.sum(
+            F.when(
+                ((F.instr(F.lit(_HEX), F.substring("h", j + 1, 1)) - 1) % 2) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = ex.groupBy("doc_id").agg(*sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def q_dedup_simhash(spark, sf):
+    return simhash(T(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _sql_simhash_inner() -> str:
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (strpos('{_HEX}', substring(md5(tok), {j + 1}, 1)) - 1) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+  WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+  sums AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+"""
+
+
+SQL_SIMHASH = _sql_simhash_inner() + " ORDER BY doc_id"
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    """Near-dup pairs by Hamming distance ≤ 2 on SimHash (bit_count(xor));
+    documents is a fixed 500-row table so the n² compare is the baseline —
+    at corpus scale you'd band the simhash the same way as LSH."""
+    s = simhash(T(spark, sf, "documents"))
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= 2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sims AS ({_sql_simhash_inner()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def _cosine(a_col: str, b_col: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a_col), F.col(b_col), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.col(a_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.col(b_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+_SQL_COS = (
+    "list_aggregate(list_transform(range(1, len(a.embedding) + 1), "
+    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum') / "
+    "(sqrt(list_aggregate(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) * "
+    "sqrt(list_aggregate(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')))"
+)
+
+
+def q_similarity_bruteforce(spark, sf):
+    """Brute-force cosine matches ≥ 0.25 for 5 query vectors — the exact
+    baseline every ANN variant is judged against. zip_with+aggregate keeps
+    the arithmetic JVM-side; the query side is broadcast."""
+    v = T(spark, sf, "embeddings")
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    pairs = v.alias("b").join(F.broadcast(q).alias("a"), F.col("query_id") < F.col("vec_id"))
+    return (
+        pairs.withColumn("cos", _cosine("qvec", "embedding"))
+        .filter(F.col("cos") >= 0.25)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cos_sim"))
+        .orderBy("query_id", "vec_id")
+    )
+
+
+SQL_SIM_BRUTE = f"""
+SELECT a.vec_id AS query_id, b.vec_id AS vec_id, round({_SQL_COS}, 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id < b.vec_id
+WHERE {_SQL_COS} >= 0.25
+ORDER BY query_id, vec_id
+"""
+
+
+def q_similarity_topk(spark, sf):
+    """Brute-force top-3 neighbours per query vector (rank via row_number —
+    no SQL oracle: float rank ties make cross-engine rank order unstable;
+    driver records the rows-only check)."""
+    from pyspark.sql import Window
+
+    v = T(spark, sf, "embeddings")
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    pairs = v.alias("b").join(F.broadcast(q).alias("a"), F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        pairs.withColumn("cos", _cosine("qvec", "embedding"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bucket_expr(col: str):
+    """Deterministic 3-bit LSH bucket: sign bits of the first 3 components
+    (a fixed hyperplane set — seeded, identical in SQL)."""
+    b = None
+    for i in range(3):
+        bit = F.when(F.element_at(F.col(col), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        b = bit if b is None else b + bit
+    return b.cast("int")
+
+
+def q_similarity_lsh(spark, sf):
+    """LSH-bucketed cosine (the scale path): vectors meet only within their
+    sign-bit bucket — bucket-local joins instead of the full cross join."""
+    v = T(spark, sf, "embeddings").withColumn("bucket", _bucket_expr("embedding"))
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return (
+        pairs.withColumn(
+            "cos",
+            _cosine("a.embedding", "b.embedding"),
+        )
+        .filter(F.col("cos") >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_SQL_BUCKET = (
+    "((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) + "
+    "(CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END))::INT"
+)
+
+SQL_SIM_LSH = f"""
+WITH v AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       round({_SQL_COS}, 4) AS cos_sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_SQL_COS} >= 0.25
+ORDER BY vec_a, vec_b
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_token_counts(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        textfuncs.token_count(F.col("text")).alias("n_tokens"),
+        textfuncs.word_token_count(F.col("text")).alias("n_word_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS n_tokens,
+       len(list_filter(string_split_regex(
+           regexp_replace(text, '[A-Za-z]+|[0-9]+', ' W ', 'g'), '\\s+'),
+           t -> t != '')) AS n_word_tokens,
+       length(text) AS n_chars_measured
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf):
+    """Stopword-ratio language ID vs the table's labeled lang."""
+    d = T(spark, sf, "documents")
+    return (
+        d.select("doc_id", "lang", textfuncs.lang_id(F.col("text")).alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textfuncs.STOPWORDS[lang])
+    return (
+        f"(len(list_filter(toks, t -> t IN ({words})))::DOUBLE / "
+        f"greatest(len(toks), 1))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {_sql_ratio('en')} AS s_en, {_sql_ratio('de')} AS s_de,
+         {_sql_ratio('fr')} AS s_fr, {_sql_ratio('pl')} AS s_pl,
+         {_sql_ratio('es')} AS s_es
+  FROM t)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_pl, s_es) <= 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_pl AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_pl AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_pl AND s_fr >= s_es THEN 'fr'
+            WHEN s_pl >= s_es THEN 'pl'
+            ELSE 'es' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(textfuncs.punct_ratio(F.col("text")), 5).alias("punct_ratio"),
+        F.round(textfuncs.stopword_ratio(F.col("text"), "en"), 5).alias("stopword_ratio_en"),
+        F.round(textfuncs.quality_score(F.col("text")), 5).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_SQL_EN_RATIO = _sql_ratio("en")
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+  FROM documents)
+SELECT doc_id,
+       round(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 5) AS punct_ratio,
+       round({_SQL_EN_RATIO}, 5) AS stopword_ratio_en,
+       round((least(length(text) / 200.0, 1.0)
+            + least(len(toks) / 40.0, 1.0)
+            + greatest(0.0, 1.0 - (length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g'))::DOUBLE
+                                   / greatest(length(text), 1)) * 4)) / 3.0, 5) AS quality
+FROM t ORDER BY doc_id
+"""
+
+
+def q_fingerprints(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        textfuncs.fingerprint(F.col("text")).alias("fp"),
+        F.substring(textfuncs.fingerprint(F.col("text")), 1, 8).alias("fp_short"),
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_short
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_LSH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "similarity_bruteforce": (q_similarity_bruteforce, SQL_SIM_BRUTE),
+    "similarity_topk": (q_similarity_topk, None),
+    "similarity_lsh": (q_similarity_lsh, SQL_SIM_LSH),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_scores": (q_quality_scores, SQL_QUALITY),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+}

@@ -1,0 +1,629 @@
+"""Relational operator coverage (SURVEY.md §2.2–2.8) as oracle-checked
+queries over the driver's test tables.
+
+Each entry: name -> (spark_fn, oracle_sql_or_None). The Spark side is a
+declarative DataFrame plan (Catalyst does pushdown/pruning/join selection;
+broadcast hints only where the dim side is known-small). Every computed
+column is aliased identically in both engines (driver hash-compares by
+column name). Queries that aren't ANSI-SQL-expressible carry sql=None and
+get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# aggregations / filters / projections
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: filter → partial+final hash agg (map-side combine)."""
+    l = T(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark, sf):
+    """Projection + predicate (pushed to parquet row groups)."""
+    l = T(spark, sf, "lineitem")
+    return (
+        l.filter((F.col("l_quantity") >= 30) & (F.col("l_discount") > 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem WHERE l_quantity >= 30 AND l_discount > 0.05
+"""
+
+
+def q_join_agg(spark, sf):
+    """3-way equi-join (fact ⋈ fact ⋈ dim) + agg; AQE picks the strategy."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    l = T(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_JOIN_AGG = """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_broadcast_chain(spark, sf):
+    """Dim chain broadcast join: supplier→nation→region, agg per region."""
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+        .orderBy("r_name")
+    )
+
+
+SQL_BROADCAST_CHAIN = """
+SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_semi_join(spark, sf):
+    """left semi: orders having a high-quantity lineitem (EXISTS)."""
+    o = T(spark, sf, "orders")
+    l = T(spark, sf, "lineitem")
+    return (
+        o.join(l.filter(F.col("l_quantity") >= 49), o.o_orderkey == l.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_SEMI = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+"""
+
+
+def q_anti_join(spark, sf):
+    """left anti: customers with no orders (the dedup primitive)."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_nonequi_join(spark, sf):
+    """theta join (broadcast nested loop): region-pair counts."""
+    n1 = T(spark, sf, "nation").alias("n1")
+    n2 = T(spark, sf, "nation").alias("n2")
+    return (
+        n1.join(n2, F.col("n1.n_regionkey") < F.col("n2.n_regionkey"))
+        .groupBy(F.col("n1.n_regionkey").alias("r_lo"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("r_lo")
+    )
+
+
+SQL_NONEQUI = """
+SELECT n1.n_regionkey AS r_lo, count(*) AS n_pairs
+FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+GROUP BY n1.n_regionkey ORDER BY r_lo
+"""
+
+
+# --------------------------------------------------------------------------
+# windows
+# --------------------------------------------------------------------------
+
+def q_window_topk_per_group(spark, sf):
+    """row_number ≤ k per group — the politeness-budget pattern (§2.5)."""
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_window_running(spark, sf):
+    """running frame: cumulative value per user over event time."""
+    e = T(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+"""
+
+
+def q_window_lag(spark, sf):
+    """lag: inter-event spacing per user (the crawl-delay check pattern)."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("long").alias("gap_s"),
+        F.rank().over(Window.partitionBy("user_id").orderBy("event_id")).alias("seq"),
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT user_id, event_id,
+       floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS gap_s,
+       rank() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+FROM events
+"""
+
+
+def q_asof_latest(spark, sf):
+    """as-of pattern: latest event per user at/before a cutoff (the WARC
+    re-crawl 'version as of t' encoding, §2.3)."""
+    e = T(spark, sf, "events").filter(F.col("ts") <= F.lit("2024-01-03 00:00:00"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+SQL_ASOF = """
+SELECT user_id, event_id, ts, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-03 00:00:00')
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# rollup / cube / grouping sets / stats
+# --------------------------------------------------------------------------
+
+def q_rollup(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.grouping_id().alias("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       grouping(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def q_cube(spark, sf):
+    o = T(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       grouping(o_orderstatus, o_orderpriority) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def q_grouping_sets(spark, sf):
+    l = T(spark, sf, "lineitem")
+    l.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_minby_maxby(spark, sf):
+    s = T(spark, sf, "supplier")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.max_by("s_name", "s_acctbal").alias("richest"),
+            F.min_by("s_name", "s_acctbal").alias("poorest"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SQL_MINBY = """
+SELECT s_nationkey, arg_max(s_name, s_acctbal) AS richest,
+       arg_min(s_name, s_acctbal) AS poorest
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def q_approx_distinct(spark, sf):
+    """HLL++ sketch — no SQL oracle (approximate by design; driver records
+    the rows-only check). Used to size the seen-set bloom (§2.4)."""
+    l = T(spark, sf, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sorts / limits / set ops
+# --------------------------------------------------------------------------
+
+def q_topk_global(spark, sf):
+    """TakeOrderedAndProject: global top-k without a full sort."""
+    l = T(spark, sf, "lineitem")
+    return (
+        l.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+SQL_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+"""
+
+
+def q_setops(spark, sf):
+    """union / intersect / except over customer key sets."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    buyers = o.select(F.col("o_custkey").alias("k")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    return (
+        buyers.intersect(building)
+        .union(rich.exceptAll(buyers))
+        .distinct()
+        .orderBy("k")
+    )
+
+
+SQL_SETOPS = """
+SELECT k FROM (
+  (SELECT DISTINCT o_custkey AS k FROM orders
+   INTERSECT SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+  UNION
+  (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+   EXCEPT ALL SELECT DISTINCT o_custkey AS k FROM orders)
+) ORDER BY k
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar function families (string / date / json / array / conditional)
+# --------------------------------------------------------------------------
+
+def q_string_funcs(spark, sf):
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_u"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.when(F.col("p_name").startswith("a"), 1).otherwise(0).alias("starts_a"),
+    )
+
+
+SQL_STRING = """
+SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 5) AS name5,
+       length(p_name) AS name_len,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       coalesce(regexp_extract(p_type, '^(\\w+)', 1), '') AS type_head,
+       CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END AS starts_a
+FROM part
+"""
+
+
+def q_date_funcs(spark, sf):
+    o = T(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("month")
+    )
+
+
+SQL_DATE = """
+SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def q_hour_window(spark, sf):
+    """Tumbling event-time window (streaming-semantics op, batch-expressed)."""
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "n", "sum_value")
+        .orderBy("hour")
+    )
+
+
+SQL_HOUR_WINDOW = """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY hour
+"""
+
+
+def q_session_window(spark, sf):
+    """Session windows per user (30-min idle gap): F.session_window vs the
+    SQL gaps-and-islands encoding — same sessions, same aggregates."""
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_json_funcs(spark, sf):
+    e = T(spark, sf, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        )
+        .filter(F.col("k_val") > 50)
+    )
+
+
+SQL_JSON = """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val
+FROM events WHERE json_extract_string(props, '$.k')::BIGINT > 50
+"""
+
+
+def q_array_funcs(spark, sf):
+    """ArrayType ops over embeddings: size / element / slice-sum / l2 via
+    higher-order aggregate (all JVM-side)."""
+    v = T(spark, sf, "embeddings")
+    return v.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 5).alias("first_val"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            ),
+            5,
+        ).alias("sq_norm"),
+    )
+
+
+SQL_ARRAY = """
+SELECT vec_id, len(embedding) AS dim,
+       round(embedding[1]::DOUBLE, 5) AS first_val,
+       round(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'), 5) AS sq_norm
+FROM embeddings
+"""
+
+
+def q_conditional(spark, sf):
+    c = T(spark, sf, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("high")
+            .alias("bal_bucket"),
+        )
+        .groupBy("bal_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bal_bucket")
+    )
+
+
+SQL_CONDITIONAL = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket,
+       count(*) AS n
+FROM customer GROUP BY 1 ORDER BY bal_bucket
+"""
+
+
+def q_correlated_scalar(spark, sf):
+    """Decorrelated scalar subquery: parts above their brand's mean price."""
+    p = T(spark, sf, "part")
+    brand_avg = p.groupBy("p_brand").agg(F.avg("p_retailprice").alias("brand_avg"))
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+SQL_CORRELATED = """
+SELECT p_partkey, p_brand, p_retailprice FROM part p
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+"""
+
+
+def q_range_join(spark, sf):
+    """Equi + range predicate: lineitems shipped within 30 days of order."""
+    o = T(spark, sf, "orders")
+    l = T(spark, sf, "lineitem")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate >= o.o_orderdate)
+            & (l.l_shipdate <= F.date_add(o.o_orderdate, 30)),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_fast"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT o_orderpriority, count(*) AS n_fast
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "join_agg": (q_join_agg, SQL_JOIN_AGG),
+    "broadcast_chain": (q_broadcast_chain, SQL_BROADCAST_CHAIN),
+    "semi_join": (q_semi_join, SQL_SEMI),
+    "anti_join": (q_anti_join, SQL_ANTI),
+    "nonequi_join": (q_nonequi_join, SQL_NONEQUI),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "window_topk_per_group": (q_window_topk_per_group, SQL_WINDOW_TOPK),
+    "window_running": (q_window_running, SQL_WINDOW_RUNNING),
+    "window_lag": (q_window_lag, SQL_WINDOW_LAG),
+    "asof_latest": (q_asof_latest, SQL_ASOF),
+    "rollup": (q_rollup, SQL_ROLLUP),
+    "cube": (q_cube, SQL_CUBE),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "minby_maxby": (q_minby_maxby, SQL_MINBY),
+    "approx_distinct": (q_approx_distinct, None),
+    "topk_global": (q_topk_global, SQL_TOPK),
+    "setops": (q_setops, SQL_SETOPS),
+    "string_funcs": (q_string_funcs, SQL_STRING),
+    "date_funcs": (q_date_funcs, SQL_DATE),
+    "hour_window": (q_hour_window, SQL_HOUR_WINDOW),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW),
+    "json_funcs": (q_json_funcs, SQL_JSON),
+    "array_funcs": (q_array_funcs, SQL_ARRAY),
+    "conditional": (q_conditional, SQL_CONDITIONAL),
+    "correlated_scalar": (q_correlated_scalar, SQL_CORRELATED),
+}
