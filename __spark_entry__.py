@@ -163,6 +163,52 @@ def q_crawl_round(spark, sf):
     return cat.load(spark, "metrics").orderBy("partition_id")
 
 
+def q_multimodal_meta(spark, sf):
+    """Multimodal decode plumbing: binary assets → typed metadata via
+    Arrow-batched mapInPandas (decode is the deterministic stub — no codecs
+    in the container; the Spark-side schema/batching is the real thing).
+    Metadata is byte-derived, so the oracle can mirror it in SQL."""
+    from gpse import multimodal as M
+
+    d = _queries.T(spark, sf, "documents")
+    return (
+        M.decode_assets(M.assets_from_documents(d))
+        .select("asset_id", "kind", "n_bytes", "width", "height", "duration_ms", "channels")
+        .orderBy("asset_id")
+    )
+
+
+SQL_MULTIMODAL_META = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents)
+SELECT asset_id, kind, n_bytes,
+       CASE WHEN kind IN ('image','video') THEN 16 * (1 + n_bytes % 40) END::INT AS width,
+       CASE WHEN kind IN ('image','video') THEN 16 * (1 + (n_bytes // 40) % 40) END::INT AS height,
+       CASE WHEN kind = 'audio' THEN 250 * (1 + n_bytes % 200)
+            WHEN kind = 'video' THEN 1000 * (1 + n_bytes % 90) END::INT AS duration_ms,
+       CASE WHEN kind = 'audio' THEN 1 + n_bytes % 2 END::INT AS channels
+FROM a ORDER BY asset_id
+"""
+
+
+def q_multimodal_features(spark, sf):
+    """Asset → fixed-dim float feature vector (byte histogram stub) —
+    the embedding-extraction plumbing; rows-only check (numpy-side math)."""
+    from gpse import multimodal as M
+
+    d = _queries.T(spark, sf, "documents")
+    f = M.extract_features(M.assets_from_documents(d))
+    return f.select(
+        "asset_id",
+        F.size("feature").alias("dim"),
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+    ).orderBy("asset_id")
+
+
 def q_extract_text(spark, sf):
     """Vectorized HTML→text/links extraction over the synthetic corpus
     (the byte-identical invariant path; golden-pinned in tests)."""
@@ -218,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_schedule"] = q_crawl_schedule
     out["crawl_round"] = q_crawl_round
     out["extract_text"] = q_extract_text
+    out["multimodal_meta"] = q_multimodal_meta
+    out["multimodal_features"] = q_multimodal_features
     return out
 
 
@@ -229,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
     out["url_canonicalize"] = SQL_URL_CANON
     out["url_dedup"] = SQL_URL_DEDUP
     out["host_extract"] = SQL_HOST_EXTRACT
+    out["multimodal_meta"] = SQL_MULTIMODAL_META
     # crawl_schedule / crawl_round / extract_text: engine composites —
     # rows-only (their determinism is pinned by tests/golden instead)
     return out

@@ -40,6 +40,7 @@ class _Snap:
     mode: str            # 'append' | 'overwrite'
     dirs: list[str]      # full file-dir list for this snapshot (Iceberg manifest analogue)
     committed_ts: float
+    data_dir: str = ""   # the single dir this commit added (delta reads)
 
 
 class Catalog:
@@ -85,7 +86,7 @@ class Catalog:
         df.write.mode("errorifexists").parquet(data_dir)
         prev = self._latest(snaps, name, None)
         dirs = [data_dir] if mode == "overwrite" else (list(prev.dirs) if prev else []) + [data_dir]
-        snaps.append(_Snap(name, round, snap_id, mode, dirs, time.time()))
+        snaps.append(_Snap(name, round, snap_id, mode, dirs, time.time(), data_dir))
         self._write_manifest(snaps)
         return snap_id
 
@@ -102,6 +103,18 @@ class Catalog:
         if s is None:
             raise KeyError(f"no snapshot for table {name!r} at round {round!r}")
         return spark.read.parquet(*s.dirs)
+
+    def load_delta(self, spark: SparkSession, name: str, round: int) -> DataFrame:
+        """Read ONLY the files a specific round's commit added (an Iceberg
+        incremental/changelog read). Lets a round re-read its own freshly
+        written data with column pruning instead of holding a wide persist."""
+        cand = [
+            s for s in self._read_manifest()
+            if s.table == name and s.round == round and s.data_dir
+        ]
+        if not cand:
+            raise KeyError(f"no delta commit for table {name!r} at round {round}")
+        return spark.read.parquet(cand[-1].data_dir)
 
     def exists(self, name: str) -> bool:
         return self._latest(self._read_manifest(), name, None) is not None

@@ -22,7 +22,9 @@ batch ordering (tested in tests/e2e).
 
 from __future__ import annotations
 
+import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,28 +43,44 @@ from gpse.extract import parse_extract
 @dataclass
 class CrawlCfg:
     corpus: synth.CorpusCfg = field(default_factory=synth.CorpusCfg)
-    batch_size: int = 2000
+    batch_size: int | None = 2000   # None = budget-bounded round, no global top-k
     n_salts: int = 8
     num_partitions: int = 32
     n_bloom_buckets: int = 32
+    bloom_bits: int = 1 << 20   # fixed per-bucket bits → OR-mergeable blobs
     use_bloom: bool = True
     depth_weight: float = 1.0
     max_depth: int = 100
+    corpus_bodies_path: str | None = None  # parquet-backed origin (bench path)
 
 
-def init_crawl(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, seeds=None) -> None:
-    """Round 0 state: seeds → frontier, seeds → seen, robots → host_policy."""
-    seeds = seeds if seeds is not None else synth.seed_urls(cfg.corpus)
-    f0 = frontier_mod.from_seeds(spark, seeds, cfg.n_salts)
+def init_crawl(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, seeds=None, seed_df=None) -> None:
+    """Round 0 state: seeds → frontier + seen + seen_bloom, robots → policy.
+    `seed_df` (url, priority) lets large benches build seeds distributively."""
+    if seed_df is not None:
+        f0 = frontier_mod.from_seed_df(seed_df, cfg.n_salts)
+    else:
+        seeds = seeds if seeds is not None else synth.seed_urls(cfg.corpus)
+        f0 = frontier_mod.from_seeds(spark, seeds, cfg.n_salts)
+    f0 = f0.persist()
     cat.commit("frontier", f0, 0, mode="append")
-    cat.commit(
-        "seen_exact",
-        f0.select("url_hash", F.lit(0).cast("int").alias("first_round")),
-        0,
-        mode="append",
-    )
+    seen0 = f0.select("url_hash", F.lit(0).cast("int").alias("first_round"))
+    cat.commit("seen_exact", seen0, 0, mode="append")
+    if cfg.use_bloom:
+        blooms0 = seen_mod.build_blooms(seen0, cfg.n_bloom_buckets, nbits=cfg.bloom_bits)
+        cat.commit("seen_bloom", blooms0, 0, mode="overwrite")
+    f0.unpersist()
     policy = robots_mod.build_host_policy(synth.gen_robots(spark, cfg.corpus))
     cat.commit("host_policy", policy, 0, mode="overwrite")
+
+
+@contextmanager
+def _t(label: str):
+    """Per-action wall timing, printed when GPSE_TIMING=1 (perf triage)."""
+    t0 = time.time()
+    yield
+    if os.environ.get("GPSE_TIMING") == "1":
+        print(f"[gpse-timing] {label}: {time.time() - t0:.1f}s", flush=True)
 
 
 def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) -> dict:
@@ -75,61 +93,95 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     sched, denied = frontier_mod.schedule_batch(
         fr, policy, cfg.batch_size, cfg.num_partitions
     )
-    fetched = fetch_mod.fetch(sched, cfg.corpus)
-    parsed = parse_extract(fetched).persist()
+    if cfg.corpus_bodies_path:
+        bodies = spark.read.parquet(cfg.corpus_bodies_path)
+        fetched = fetch_mod.fetch_from_corpus(sched, bodies, cfg.num_partitions)
+    else:
+        fetched = fetch_mod.fetch(sched, cfg.corpus)
+    parsed = parse_extract(fetched)
+    # The round's fetch log IS the pages table (extended schema: the
+    # input_hint columns url/warc_ts/html/text/lang first, then engine
+    # lineage columns). ONE full materialization per round — every later
+    # stage re-reads this commit column-pruned (load_delta), so `html`
+    # never sits in a wide persist and never travels again. This is the
+    # plan shape that survives 100 TB: write once, prune thereafter.
+    log = parsed.select(
+        "url",
+        "warc_ts",
+        "html",
+        "text",
+        textfuncs.lang_id(F.col("text")).alias("lang"),
+        "status",
+        "url_hash",
+        "host",
+        "depth",
+        "src_url_hash",
+        "links",
+        F.size("links").alias("n_links"),
+        F.length("text").alias("text_len"),
+        "bytes",
+        "partition_id",
+        "sched_offset_ms",
+    )
+    with _t("pages commit (fetch+parse+extract+write)"):
+        cat.commit("pages", log, round_n, mode="append")
+    pl = cat.load_delta(spark, "pages", round_n)
+
+    # candidate URLs: explode outlinks (already canonical from extractor).
+    # Pruned read: url_hash, depth, links only — html/text untouched.
+    cands = (
+        pl.select(
+            F.col("url_hash").alias("src_url_hash"),
+            (F.col("depth") + 1).alias("depth"),
+            F.explode("links").alias("url"),
+        )
+        .filter(F.col("depth") <= cfg.max_depth)
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    blooms = cat.load(spark, "seen_bloom", round_n) if cfg.use_bloom else None
+    new_urls = seen_mod.dedup_new_urls(cands, seen, blooms, cfg.n_bloom_buckets)
+    # one url may be discovered from several sources: keep smallest depth,
+    # deterministic tiebreak on src
+    new_urls = new_urls.groupBy("url", "url_hash").agg(
+        F.min("depth").alias("depth"), F.min("src_url_hash").alias("src_url_hash")
+    )
+
+    next_frontier = frontier_mod.from_candidates(
+        new_urls, round_n + 1, cfg.n_salts, cfg.depth_weight
+    ).persist()  # slim (no html) — cheap to hold for its three consumers
     try:
-        n_fetched = parsed.count()  # materialize once; reused by all commits
-
-        # pages generation (input_hint schema) — html kept as its own column
-        # so later scans prune it; lang via JVM-side heuristic
-        pages = parsed.filter(F.col("status") == 200).select(
-            "url",
-            "warc_ts",
-            "html",
-            "text",
-            textfuncs.lang_id(F.col("text")).alias("lang"),
+        new_seen = next_frontier.select(
+            "url_hash", F.lit(round_n + 1).cast("int").alias("first_round")
         )
-        cat.commit("pages", pages, round_n, mode="append")
-
-        # candidate URLs: explode outlinks (already canonical from extractor)
-        cands = (
-            parsed.select(
-                F.col("url_hash").alias("src_url_hash"),
-                (F.col("depth") + 1).alias("depth"),
-                F.explode("links").alias("url"),
+        with _t("dedup + frontier commit"):
+            cat.commit("frontier", next_frontier, round_n + 1, mode="append")
+        with _t("seen commit"):
+            cat.commit("seen_exact", new_seen, round_n + 1, mode="append")
+        if cfg.use_bloom:
+            # incremental: O(new URLs) delta blobs OR-merged into the carried
+            # blobs (never a full seen-set rebuild)
+            delta = seen_mod.build_blooms(
+                new_seen, cfg.n_bloom_buckets, nbits=cfg.bloom_bits
             )
-            .filter(F.col("depth") <= cfg.max_depth)
-            .withColumn("url_hash", F.xxhash64("url"))
-        )
-        blooms = (
-            seen_mod.build_blooms(seen, cfg.n_bloom_buckets) if cfg.use_bloom else None
-        )
-        new_urls = seen_mod.dedup_new_urls(cands, seen, blooms, cfg.n_bloom_buckets)
-        # one url may be discovered from several sources: keep smallest depth,
-        # deterministic tiebreak on src
-        new_urls = new_urls.groupBy("url", "url_hash").agg(
-            F.min("depth").alias("depth"), F.min("src_url_hash").alias("src_url_hash")
-        )
+            with _t("bloom delta+merge commit"):
+                cat.commit(
+                    "seen_bloom",
+                    seen_mod.merge_blooms(blooms, delta),
+                    round_n + 1,
+                    mode="overwrite",
+                )
 
-        next_frontier = frontier_mod.from_candidates(
-            new_urls, round_n + 1, cfg.n_salts, cfg.depth_weight
-        ).persist()
-        n_new = next_frontier.count()
-        cat.commit("frontier", next_frontier, round_n + 1, mode="append")
-        cat.commit(
-            "seen_exact",
-            next_frontier.select(
-                "url_hash", F.lit(round_n + 1).cast("int").alias("first_round")
-            ),
-            round_n + 1,
-            mode="append",
-        )
-
-        mrows = metrics_mod.round_metrics(parsed, round_n)
-        cat.commit("metrics", mrows, round_n, mode="append")
-        next_frontier.unpersist()
+        mrows = metrics_mod.round_metrics(pl, round_n)
+        with _t("metrics commit"):
+            cat.commit("metrics", mrows, round_n, mode="append")
+        mstats = cat.load_delta(spark, "metrics", round_n).agg(
+            F.sum("n_fetched").alias("nf")
+        ).collect()[0]
+        n_fetched = mstats["nf"] or 0
+        with _t("n_new count"):
+            n_new = next_frontier.count()  # cached by the frontier commit
     finally:
-        parsed.unpersist()
+        next_frontier.unpersist()
 
     wall = time.time() - t0
     return {

@@ -71,9 +71,10 @@ def fetch(scheduled: DataFrame, cfg: synth.CorpusCfg) -> DataFrame:
                         status[i] = 200
                         html[i] = bodies[k]
                         ts_col[i] = ts[k]
-            # politeness clock: i-th fetch of a host waits i * crawl_delay
+            # politeness clock: i-th fetch in a (host, salt) lane waits
+            # i * crawl_delay (a salt = one politeness lane; SURVEY.md §7.4)
             delay = b["crawl_delay_ms"].fillna(0).to_numpy(dtype=np.int64)
-            seq = b.groupby("host", sort=False).cumcount().to_numpy(dtype=np.int64)
+            seq = b.groupby(["host", "salt"], sort=False).cumcount().to_numpy(dtype=np.int64)
             sched_off = seq * delay
             if ok_ids:
                 warc = pd.Series(
@@ -98,3 +99,73 @@ def fetch(scheduled: DataFrame, cfg: synth.CorpusCfg) -> DataFrame:
             )
 
     return scheduled.mapInPandas(run, schema=FETCHED_SCHEMA)
+
+
+def fetch_from_corpus(
+    scheduled: DataFrame,
+    corpus_bodies: DataFrame,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Fetch with a parquet-backed origin (the bench/replay path).
+
+    Plan shape — chosen so response bytes NEVER shuffle:
+      1. politeness pacing precomputed JVM-side: row_number window per host
+         × crawl-delay (identical values/ordering to the mapInPandas
+         fetcher's in-batch clock);
+      2. the slim scheduled batch BROADCASTS into an inner join that
+         streams the origin's parquet files in place — html bytes flow
+         scan→parse with zero shuffles or sorts (a left join would force
+         shuffling the html side: an outer join can't broadcast its
+         preserved side);
+      3. 404s (scheduled ∖ origin) recovered by an anti-join that reads
+         only the origin's pruned `url` column.
+
+    The real-HTTP path (`fetch`) keeps per-host pacing inside mapInPandas
+    batches per the north_star; this path exists because at bench scale
+    Python string assembly is memory-bandwidth-bound and the origin is a
+    table anyway."""
+    from pyspark.sql import Window
+
+    # pacing per (host, salt) — mirrors the mapInPandas fetcher, where each
+    # salted partition paces its own slice of a host (SURVEY.md §7.4: salting
+    # trades strict per-host serialism for bounded parallelism per host)
+    w = Window.partitionBy("host", "salt").orderBy("priority", "url_hash")
+    s = scheduled.withColumn(
+        "sched_offset_ms",
+        ((F.row_number().over(w) - 1) * F.coalesce(F.col("crawl_delay_ms"), F.lit(0))).cast("long"),
+    ).select("url", "url_hash", "host", "depth", "src_url_hash", "sched_offset_ms")
+
+    # A URL can have several captures (re-crawls): serve the latest — the
+    # as-of pattern (SURVEY.md §2.3). Done WITHOUT shuffling html: the
+    # max-warc_ts per scheduled url is computed on a column-pruned scan
+    # (url+warc_ts only) and broadcast back; the html-bearing scan joins
+    # two broadcasts and never moves.
+    ok0 = corpus_bodies.select("url", "warc_ts", "html").join(
+        F.broadcast(s), "url", "inner"
+    )
+    maxts = (
+        corpus_bodies.select("url", "warc_ts")
+        .join(F.broadcast(s.select("url")), "url", "inner")
+        .groupBy("url")
+        .agg(F.max("warc_ts").alias("warc_ts"))
+    )
+    ok = ok0.join(F.broadcast(maxts), ["url", "warc_ts"], "inner")
+    ok = ok.select(
+        "url", "url_hash", "host", "depth", "src_url_hash",
+        F.spark_partition_id().alias("partition_id"),
+        F.lit(200).alias("status"),
+        "warc_ts",
+        "sched_offset_ms",
+        "html",
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+    )
+    miss = s.join(corpus_bodies.select("url"), "url", "left_anti").select(
+        "url", "url_hash", "host", "depth", "src_url_hash",
+        F.spark_partition_id().alias("partition_id"),
+        F.lit(404).alias("status"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "sched_offset_ms",
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(0).cast("long").alias("bytes"),
+    )
+    return ok.unionByName(miss)

@@ -52,15 +52,24 @@ def _finish(df: DataFrame, round_n: int, n_salts: int) -> DataFrame:
     )
 
 
-def from_seeds(spark: SparkSession, seeds: list[tuple[str, float]], n_salts: int = 8) -> DataFrame:
-    """Seed list → round-0 frontier (canonicalized; priority from the list)."""
-    df = spark.createDataFrame(seeds, "url string, priority double")
-    df = (
-        df.withColumn("url", canonicalize_udf(F.col("url")))
-        .withColumn("depth", F.lit(0))
-        .withColumn("src_url_hash", F.lit(None).cast("long"))
+def from_seed_df(seed_df: DataFrame, n_salts: int = 8, canonicalize: bool = True) -> DataFrame:
+    """(url, priority) DataFrame → round-0 frontier. Takes a DataFrame so
+    huge seed lists stay distributed end to end; pass canonicalize=False
+    when the source is known-canonical (skips the Python round-trip)."""
+    df = seed_df
+    if canonicalize:
+        df = df.withColumn("url", canonicalize_udf(F.col("url")))
+    df = df.withColumn("depth", F.lit(0)).withColumn(
+        "src_url_hash", F.lit(None).cast("long")
     )
     return _finish(df, 0, n_salts).dropDuplicates(["url_hash"])
+
+
+def from_seeds(spark: SparkSession, seeds: list[tuple[str, float]], n_salts: int = 8) -> DataFrame:
+    """Seed list → round-0 frontier (canonicalized; priority from the list)."""
+    return from_seed_df(
+        spark.createDataFrame(seeds, "url string, priority double"), n_salts
+    )
 
 
 def from_candidates(new_urls: DataFrame, round_n: int, n_salts: int = 8, depth_weight: float = 1.0) -> DataFrame:
@@ -85,12 +94,35 @@ def schedule_batch(
         "left",
     )
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    j = j.withColumn(
+    # Robots precedence (RFC 9309: longest match wins, Allow wins ties) is
+    # pure prefix logic when no rule carries '*'/'$' — the overwhelmingly
+    # common case — and runs JVM-side via array lambdas (whole-stage
+    # codegen). Wildcard rule-sets take the vectorized Python matcher. The
+    # split MUST be a filter+union, not when/otherwise: Catalyst extracts
+    # Python UDFs into an unconditional ArrowEvalPython projection, so a
+    # UDF inside `otherwise` still executes for every row (verified on the
+    # plan).
+    dis = F.coalesce(F.col("disallow"), F.array())
+    alw = F.coalesce(F.col("allow"), F.array())
+    has_wild = F.exists(
+        F.concat(dis, alw),
+        lambda r: r.contains("*") | r.contains("$"),
+    )
+    longest = lambda rules: F.aggregate(  # noqa: E731
+        F.filter(rules, lambda d: path.startswith(d)),
+        F.lit(0),
+        lambda acc, d: F.greatest(acc, F.length(d)),
+    )
+    j_plain = j.filter(F.col("disallow").isNull() | ~has_wild).withColumn(
         "allowed",
         F.when(F.col("disallow").isNull(), F.lit(True)).otherwise(
-            R.allowed_udf(path, F.col("disallow"), F.col("allow"))
+            longest(alw) >= longest(dis)
         ),
     )
+    j_wild = j.filter(F.col("disallow").isNotNull() & has_wild).withColumn(
+        "allowed", R.allowed_udf(path, F.col("disallow"), F.col("allow"))
+    )
+    j = j_plain.unionByName(j_wild)
     denied = j.filter(~F.col("allowed")).select(*frontier.columns).withColumn(
         "state", F.lit("robots_denied")
     )
@@ -98,10 +130,14 @@ def schedule_batch(
     w = Window.partitionBy("host").orderBy("priority", "url_hash")
     budget = F.coalesce(F.col("budget_per_round"), F.lit(DEFAULT_BUDGET))
     ok = ok.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= budget).drop("_rn")
+    if batch_size is not None:
+        # priority-queue pop: global top-k by the total order. Spark's
+        # TakeOrderedAndProject is driver-merged — right for k ≪ frontier;
+        # for an uncapped round (batch_size=None) the budget window already
+        # bounds the batch and the selection is a set, so no global sort.
+        ok = ok.orderBy("priority", "url_hash").limit(batch_size)
     sched = (
-        ok.orderBy("priority", "url_hash")
-        .limit(batch_size)
-        .select(*frontier.columns, F.coalesce(F.col("crawl_delay_ms"), F.lit(0)).alias("crawl_delay_ms"))
+        ok.select(*frontier.columns, F.coalesce(F.col("crawl_delay_ms"), F.lit(0)).alias("crawl_delay_ms"))
         .repartition(num_partitions, F.col("host"), F.col("salt"))
         .sortWithinPartitions("host", "priority", "url_hash")
     )

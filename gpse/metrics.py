@@ -17,16 +17,18 @@ METRICS_SCHEMA = (
 )
 
 
-def round_metrics(parsed: DataFrame, round_n: int) -> DataFrame:
-    """Aggregate the round's fetched+parsed batch by fetch partition."""
+def round_metrics(pages_log: DataFrame, round_n: int) -> DataFrame:
+    """Aggregate the round's fetch log by fetch partition. Reads only the
+    precomputed narrow columns (n_links/text_len are written at commit
+    time) so this scan prunes html/text/links entirely."""
     return (
-        parsed.groupBy("partition_id")
+        pages_log.groupBy("partition_id")
         .agg(
             F.count("*").alias("n_fetched"),
             F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
             F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("n_err"),
-            F.sum(F.when(F.length("text") > 0, 1).otherwise(0)).alias("n_parse_ok"),
-            F.sum(F.coalesce(F.size("links"), F.lit(0)).cast("long")).alias("n_links_out"),
+            F.sum(F.when(F.col("text_len") > 0, 1).otherwise(0)).alias("n_parse_ok"),
+            F.sum(F.coalesce(F.col("n_links"), F.lit(0)).cast("long")).alias("n_links_out"),
             F.sum("bytes").alias("bytes_in"),
             F.max("sched_offset_ms").alias("max_sched_offset_ms"),
         )

@@ -43,32 +43,40 @@ def _tokens(col):
     return F.split(F.col(col), " ")
 
 
-def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """3-token shingles via sequence+transform (1-based element_at — the
-    DuckDB mirror uses 1-based list indexing too)."""
-    toks = _tokens(text_col)
-    n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
+def exploded_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct 3-token shingles, exploded to (doc_id, sh) rows.
+
+    posexplode + lead-window instead of an array lambda: Catalyst's
+    CollapseProject re-inlines split() into transform() lambdas (measured
+    ~20x slowdown), while the window form tokenizes once per row and stays
+    fully codegen'd. One shuffle on doc_id; that shuffle is also the one
+    the downstream minhash groupBy needs, so it is reused."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
     )
-    return docs.withColumn("shingles", F.array_distinct(sh))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("sh"),
+        F.lead("tok", 2).over(w).alias("_t2"),
+    )
+    return sh.filter(F.col("_t2").isNotNull()).select("doc_id", "sh").distinct()
 
 
-SQL_SHINGLES = """
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-           i -> concat_ws(' ', string_split(text, ' ')[i],
-                               string_split(text, ' ')[i+1],
-                               string_split(text, ' ')[i+2])
-         )) AS shingles
-  FROM documents
+SQL_EXPLODED_SHINGLES = """
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS sh,
+           lead(tok, 2) OVER w AS t2
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents)
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE t2 IS NOT NULL
 """
 
 
@@ -102,7 +110,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """K min-hash values per doc: permutation k ≙ md5('k:' || shingle),
     min taken lexicographically (md5 hex is fixed-width, so lexicographic
     min == numeric min). explode → K parallel min-aggs, one shuffle."""
-    ex = with_shingles(docs).select("doc_id", F.explode("shingles").alias("sh"))
+    ex = exploded_shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
         for k in range(MINHASH_K)
@@ -115,8 +123,7 @@ def _sql_minhash_inner() -> str:
         f"min(md5('{k}:' || sh)) AS mh{k}" for k in range(MINHASH_K)
     )
     return f"""
-  WITH shingled AS ({SQL_SHINGLES}),
-  exploded AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
+  WITH exploded AS ({SQL_EXPLODED_SHINGLES})
   SELECT doc_id, {aggs} FROM exploded GROUP BY doc_id
 """
 
@@ -200,9 +207,9 @@ def q_dedup_ngram_jaccard(spark, sf):
     explode → self-join on shingle → pair-intersection counts → |A∪B| from
     per-doc sizes. Only co-shingled pairs ever shuffle."""
     d = T(spark, sf, "documents")
-    sh = with_shingles(d).select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
-    )
+    ex = exploded_shingles(d)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = ex.join(sizes, "doc_id").select("doc_id", "n_sh", "sh")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -227,8 +234,9 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 SQL_JACCARD = f"""
-WITH shingled AS ({SQL_SHINGLES}),
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM shingled),
+WITH ex0 AS ({SQL_EXPLODED_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex0 GROUP BY doc_id),
+ex AS (SELECT ex0.doc_id, n_sh, sh FROM ex0 JOIN sizes ON ex0.doc_id = sizes.doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*) AS inter

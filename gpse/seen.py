@@ -65,20 +65,27 @@ def _bloom_test(keys: np.ndarray, nbits: int, nhashes: int, bits: np.ndarray) ->
     return maybe
 
 
-def build_blooms(seen: DataFrame, n_buckets: int = 32, bits_per_key: int = 12, n_hashes: int = 6) -> DataFrame:
-    """One bloom blob per url_hash bucket, rebuilt from seen_exact.
+def build_blooms(
+    seen: DataFrame, n_buckets: int = 32, nbits: int | None = None,
+    bits_per_key: int = 12, n_hashes: int = 6,
+) -> DataFrame:
+    """One bloom blob per url_hash bucket.
 
-    Sized per bucket from the actual key count (power-of-two bits), so a
-    skewed bucket simply gets a bigger blob rather than a worse FPR."""
+    With nbits=None each blob is sized from its actual key count (one-shot
+    build). With a fixed nbits the blobs are OR-mergeable across rounds —
+    the incremental path (merge_blooms) that keeps the per-round cost
+    O(new URLs), not O(seen set): at 10^10 URLs a full rebuild per round
+    would dominate the round. Size the fixed nbits from an HLL estimate of
+    the target frontier (approx_count_distinct, SURVEY.md §2.4)."""
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf["url_hash"].to_numpy(dtype=np.int64)
-        nbits = 1 << max(13, int(np.ceil(np.log2(max(len(keys), 1) * bits_per_key))))
-        bits = _bloom_set(keys, nbits, n_hashes)
+        nb = nbits or (1 << max(13, int(np.ceil(np.log2(max(len(keys), 1) * bits_per_key)))))
+        bits = _bloom_set(keys, nb, n_hashes)
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["bucket"].iloc[0])],
-                "nbits": [nbits],
+                "nbits": [nb],
                 "nhashes": [n_hashes],
                 "bits": [bits.tobytes()],
             }
@@ -91,22 +98,25 @@ def build_blooms(seen: DataFrame, n_buckets: int = 32, bits_per_key: int = 12, n
     )
 
 
-@pandas_udf(BooleanType())
-def _maybe_seen_udf(it: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-    for url_hash, nbits, nhashes, bits in it:
-        out = np.ones(len(url_hash), dtype=bool)
-        if len(url_hash):
-            keys = url_hash.to_numpy(dtype=np.int64)
-            # group rows by identical blob (one bucket per group in practice)
-            codes, uniq = pd.factorize(bits)
-            for g, blob in enumerate(uniq):
-                m = codes == g
-                if blob is None:
-                    out[m] = False  # no blob for bucket → bloom is empty → new
-                    continue
-                arr = np.frombuffer(blob, dtype=np.uint8)
-                out[m] = _bloom_test(keys[m], int(nbits[m].iloc[0]), int(nhashes[m].iloc[0]), arr)
-        yield pd.Series(out, dtype=bool)
+def merge_blooms(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two fixed-nbits blob sets by bucket (the incremental
+    seen-bloom update — tiny: one row per bucket)."""
+
+    def orred(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for blob in pdf["bits"]:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "nbits": [int(pdf["nbits"].iloc[0])],
+                "nhashes": [int(pdf["nhashes"].iloc[0])],
+                "bits": [acc.tobytes()],
+            }
+        )
+
+    return old.unionByName(delta).groupBy("bucket").applyInPandas(orred, schema=BLOOM_SCHEMA)
 
 
 def dedup_new_urls(
@@ -120,20 +130,47 @@ def dedup_new_urls(
     Plan shape (SURVEY.md §3.1 step 6):
       1. in-batch exact dedup — dropDuplicates on url_hash (partial+final
          hash agg, map-side combined);
-      2. optional bloom pre-filter — broadcast the per-bucket blobs, keep
-         the definitely-new fast path out of the anti-join entirely;
+      2. optional bloom pre-filter — the per-bucket blobs travel as a REAL
+         SparkContext broadcast captured in the UDF closure, shipped once
+         per executor. (Never join the blob column onto candidate rows: a
+         1 MiB blob × millions of rows re-materializes per row and pushes
+         terabytes through the shuffle/Arrow boundary — measured fatal at
+         a 2M-URL frontier.) Definitely-new rows skip the anti-join.
       3. exact left-anti join on url_hash for the maybe-seen remainder —
          the only shuffle, on the same key seen_exact is sharded by.
     """
     cand = candidates.dropDuplicates(["url_hash"])
     if blooms is None:
         return cand.join(seen.select("url_hash"), "url_hash", "left_anti")
-    c = cand.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
-    c = c.join(F.broadcast(blooms), "bucket", "left")
-    c = c.withColumn(
-        "_maybe",
-        _maybe_seen_udf(F.col("url_hash"), F.col("nbits"), F.col("nhashes"), F.col("bits")),
-    ).drop("nbits", "nhashes", "bits", "bucket")
+
+    spark = candidates.sparkSession
+    blob_map = {
+        int(r["bucket"]): (
+            int(r["nbits"]),
+            int(r["nhashes"]),
+            np.frombuffer(r["bits"], dtype=np.uint8),
+        )
+        for r in blooms.collect()
+    }
+    bc = spark.sparkContext.broadcast(blob_map)
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        blobs = bc.value
+        for uh in it:
+            keys = uh.to_numpy(dtype=np.int64)
+            out = np.ones(len(keys), dtype=bool)
+            buckets = np.mod(keys, n_buckets)  # numpy mod == Spark pmod sign
+            for b in np.unique(buckets):
+                m = buckets == b
+                entry = blobs.get(int(b))
+                if entry is None:
+                    out[m] = False  # empty bucket bloom → definitely new
+                else:
+                    out[m] = _bloom_test(keys[m], entry[0], entry[1], entry[2])
+            yield pd.Series(out, dtype=bool)
+
+    c = cand.withColumn("_maybe", maybe_seen(F.col("url_hash")))
     definitely_new = c.filter(~F.col("_maybe")).drop("_maybe")
     maybe = c.filter(F.col("_maybe")).drop("_maybe")
     confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")

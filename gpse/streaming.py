@@ -1,0 +1,82 @@
+"""Structured Streaming expression of the engine's stream-shaped ops.
+
+The crawl loop itself is iterated batch by design (SURVEY.md §2.9 — each
+round is one Spark job, which is what the north_star prescribes), but every
+streaming-semantics capability has a native Structured Streaming mapping
+here for continuous-ingest deployments: watermarked event-time windows,
+session windows, and stateful streaming dedup of the URL stream.
+
+All entry points take/return streaming DataFrames (spark.readStream …),
+and are tested with file sources + Trigger.AvailableNow → memory sink
+(deterministic, no wall-clock dependence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpse.synth import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of pages (one file per crawl round in practice:
+    the catalog's per-round snapshot dirs double as a stream source)."""
+    return spark.readStream.schema(PAGES_SCHEMA).parquet(path)
+
+
+def hourly_fetch_metrics(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window over capture time with late-data bound —
+    the streaming form of the per-round metrics rollup (D5)."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(F.col("w.start").alias("hour"), "lang", "n_pages", "bytes_in")
+    )
+
+
+def host_fetch_sessions(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-host session windows split by idle gaps (politeness analysis)."""
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+    return (
+        pages.withWatermark("warc_ts", "2 hours")
+        .groupBy(host.alias("host"), F.session_window("warc_ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_fetches"))
+        .select("host", F.col("w.start").alias("session_start"), "n_fetches")
+    )
+
+
+def streaming_dedup_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on the canonical URL hash — the seen-set
+    semantics expressed as a streaming operator (state store holds the
+    within-watermark seen set; the durable cross-round seen set stays the
+    batch anti-join in gpse/seen.py)."""
+    return (
+        pages.withColumn("url_hash", F.xxhash64("url"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url_hash"])
+        .select("url", "url_hash", "warc_ts")
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, mode: str = "append") -> list:
+    """Drain a file-backed stream with Trigger.AvailableNow into a memory
+    sink and return the rows (deterministic test/demo harness).
+
+    Aggregations should pass mode='complete': in append mode a window only
+    emits once the watermark passes it, so the tail windows of a finite
+    stream never surface."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}").collect()

@@ -53,6 +53,7 @@ class CorpusCfg:
     k_min: int = 4          # min outlinks per page
     k_span: int = 12        # outlinks = k_min + mix % k_span
     zipf_a: float = 1.3
+    words_per_page: int = 30  # body size knob (bench uses ~150 → ~10KB pages)
 
     def host_cdf(self) -> np.ndarray:
         w = 1.0 / np.arange(1, self.n_hosts + 1, dtype=np.float64) ** self.zipf_a
@@ -134,7 +135,7 @@ def html_for(page_ids: np.ndarray, cfg: CorpusCfg) -> list[bytes]:
             f'<a href="{_href_form(tu, pid, j, cfg)}">link {j}</a>'
             for j, tu in enumerate(t_urls)
         )
-        wsel = mix64(np.arange(30, dtype=np.uint64) + np.uint64(pid) * np.uint64(7919), cfg.seed, 5)
+        wsel = mix64(np.arange(cfg.words_per_page, dtype=np.uint64) + np.uint64(pid) * np.uint64(7919), cfg.seed, 5)
         words = " ".join(_VOCAB[int(w % np.uint64(len(_VOCAB)))] for w in wsel)
         junk = ""
         jm = int(mix64(np.array([np.uint64(pid)]), cfg.seed, 6)[0] % np.uint64(20))

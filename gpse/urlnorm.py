@@ -22,6 +22,8 @@ built-in ``xxhash64`` so it never leaves whole-stage codegen.
 
 from __future__ import annotations
 
+import re
+
 from urllib.parse import quote, unquote, urlsplit, urlunsplit, parse_qsl, urlencode, urljoin
 
 import pandas as pd
@@ -80,6 +82,16 @@ def canonicalize_one(url: str) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# Absolute hrefs already in canonical form (lowercase scheme+host, no port/
+# userinfo/query/fragment/escape, no dot segments) skip the urlsplit round-
+# trip — the dominant extractor cost on link-dense pages. The property test
+# asserts fast-path output == canonicalize_one output on generated URLs.
+_FAST_CANONICAL_RE = re.compile(
+    r"^https?://[a-z0-9-]+(?:\.[a-z0-9-]+)+"
+    r"(?:/(?:(?!\.{1,2}(?:/|$))[A-Za-z0-9._~-]+/)*(?!\.{1,2}$)[A-Za-z0-9._~-]*)$"
+)
+
+
 def resolve_one(base: str, href: str) -> str | None:
     """Resolve an href against a base URL; http(s) only, else None."""
     if href is None:
@@ -87,6 +99,8 @@ def resolve_one(base: str, href: str) -> str | None:
     href = href.strip()
     if not href or href.startswith(("javascript:", "mailto:", "data:", "#")):
         return None
+    if _FAST_CANONICAL_RE.match(href):
+        return href
     try:
         joined = urljoin(base, href)
     except ValueError:

@@ -1,0 +1,46 @@
+"""Structured Streaming ops: file source + AvailableNow → memory sink,
+checked against the equivalent batch plan (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpse import streaming as S
+from gpse import synth
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_pages"))
+    cfg = synth.CorpusCfg(n_pages=300, n_hosts=20, seed=42)
+    synth.gen_pages(spark, cfg, partitions=3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_hourly_metrics_stream_matches_batch(spark, pages_dir):
+    stream = S.read_pages_stream(spark, pages_dir)
+    got = S.run_available_now(S.hourly_fetch_metrics(stream), "t_hourly", mode="complete")
+    batch = (
+        spark.read.parquet(pages_dir)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"), F.sum(F.length("html")).alias("bytes_in"))
+        .select(F.col("w.start").alias("hour"), "lang", "n_pages", "bytes_in")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_streaming_dedup_unique(spark, pages_dir):
+    stream = S.read_pages_stream(spark, pages_dir)
+    got = S.run_available_now(S.streaming_dedup_urls(stream), "t_dedup")
+    hashes = [r.url_hash for r in got]
+    assert len(hashes) == len(set(hashes))
+    assert len(hashes) > 0
+
+
+def test_sessions_stream_runs(spark, pages_dir):
+    stream = S.read_pages_stream(spark, pages_dir)
+    got = S.run_available_now(S.host_fetch_sessions(stream), "t_sess", mode="complete")
+    assert len(got) > 0
+    assert all(r.n_fetches >= 1 for r in got)
