@@ -209,6 +209,38 @@ def q_multimodal_features(spark, sf):
     ).orderBy("asset_id")
 
 
+def q_multimodal_bytes_arrow(spark, sf):
+    """mapInArrow byte stats — zero-copy Arrow batches, no pandas objects."""
+    from gpse import multimodal as M
+
+    d = _queries.T(spark, sf, "documents")
+    return M.byte_stats_arrow(M.assets_from_documents(d)).orderBy("asset_id")
+
+
+SQL_MULTIMODAL_BYTES = """
+SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes
+FROM documents ORDER BY asset_id
+"""
+
+
+def q_extract_links_udtf(spark, sf):
+    """Link extraction as a Python UDTF (LATERAL table function) over the
+    synthetic corpus — rows-only (engine-side corpus, no DuckDB view)."""
+    from gpse import synth
+    from gpse.extract import make_links_udtf
+
+    spark.udtf.register("gpse_extract_links", make_links_udtf())
+    cfg = synth.CorpusCfg(n_pages=100, n_hosts=10, seed=42)
+    synth.gen_pages(spark, cfg, partitions=2).createOrReplaceTempView("_udtf_pages")
+    return spark.sql(
+        """
+        SELECT p.url, f.pos, f.link
+        FROM _udtf_pages p, LATERAL gpse_extract_links(p.url, p.html) f
+        ORDER BY p.url, f.pos
+        """
+    )
+
+
 def q_extract_text(spark, sf):
     """Vectorized HTML→text/links extraction over the synthetic corpus
     (the byte-identical invariant path; golden-pinned in tests)."""
@@ -266,6 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_text"] = q_extract_text
     out["multimodal_meta"] = q_multimodal_meta
     out["multimodal_features"] = q_multimodal_features
+    out["multimodal_bytes_arrow"] = q_multimodal_bytes_arrow
+    out["extract_links_udtf"] = q_extract_links_udtf
     return out
 
 
@@ -278,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
     out["url_dedup"] = SQL_URL_DEDUP
     out["host_extract"] = SQL_HOST_EXTRACT
     out["multimodal_meta"] = SQL_MULTIMODAL_META
+    out["multimodal_bytes_arrow"] = SQL_MULTIMODAL_BYTES
     # crawl_schedule / crawl_round / extract_text: engine composites —
     # rows-only (their determinism is pinned by tests/golden instead)
     return out

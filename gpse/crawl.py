@@ -146,11 +146,24 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         F.min("depth").alias("depth"), F.min("src_url_hash").alias("src_url_hash")
     )
 
-    next_frontier = frontier_mod.from_candidates(
+    # carry-over: URLs that were queued this round but neither scheduled
+    # (per-host budget overflow) nor robots-denied stay in the queue —
+    # re-enqueued for round+1 with their priority intact (D2
+    # 'budget_deferred'; a priority queue that drops overflow is wrong).
+    deferred = (
+        fr.join(pl.select("url_hash"), "url_hash", "left_anti")
+        .join(denied.select("url_hash"), "url_hash", "left_anti")
+        .withColumn("round", F.lit(round_n + 1).cast("int"))
+    )
+
+    new_part = frontier_mod.from_candidates(
         new_urls, round_n + 1, cfg.n_salts, cfg.depth_weight
-    ).persist()  # slim (no html) — cheap to hold for its three consumers
+    ).persist()  # slim (no html); seen/bloom deltas come from this only
+    next_frontier = new_part.unionByName(deferred)
     try:
-        new_seen = next_frontier.select(
+        # seen delta covers ONLY genuinely-new URLs — deferred rows were
+        # recorded in seen_exact when first discovered
+        new_seen = new_part.select(
             "url_hash", F.lit(round_n + 1).cast("int").alias("first_round")
         )
         with _t("dedup + frontier commit"):
@@ -179,9 +192,9 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         ).collect()[0]
         n_fetched = mstats["nf"] or 0
         with _t("n_new count"):
-            n_new = next_frontier.count()  # cached by the frontier commit
+            n_new = new_part.count()  # cached by the frontier commit
     finally:
-        next_frontier.unpersist()
+        new_part.unpersist()
 
     wall = time.time() - t0
     return {

@@ -123,6 +123,27 @@ def extract_udf(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFr
         yield pd.DataFrame({"text": texts, "links": links})
 
 
+def make_links_udtf():
+    """Python UDTF form of link extraction — `extract_links(url, html) →
+    rows(pos, link)` (SURVEY.md §2.10 names this as the table-function
+    alternative to array+explode). Row-at-a-time by nature, so the hot path
+    stays with extract_udf+explode; the UDTF exists for SQL-surface parity:
+
+        spark.udtf.register("extract_links", make_links_udtf())
+        SELECT f.* FROM pages, LATERAL extract_links(url, html) f
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, link string")
+    class ExtractLinks:
+        def eval(self, url: str, html: bytes):
+            _, links = extract_one(html, url)
+            for i, l in enumerate(links):
+                yield i, l
+
+    return ExtractLinks
+
+
 def parse_extract(pages: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
     """Add extracted `text` and `links` columns to a pages DataFrame.
 

@@ -133,6 +133,28 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def byte_stats_arrow(assets: DataFrame) -> DataFrame:
+    """mapInArrow fast path (§2.10): byte-exact asset stats computed on raw
+    Arrow RecordBatches — no pandas object materialization, which matters
+    when the binary column is the payload (zero-copy length/slice ops)."""
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            data = rb.column(rb.schema.get_field_index("data"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("asset_id")),
+                    pc.cast(pc.binary_length(data), pa.int64()),
+                ],
+                names=["asset_id", "n_bytes"],
+            )
+
+    return assets.mapInArrow(run, "asset_id long, n_bytes long")
+
+
 def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize stage: real resize needs a codec (NotImplementedError
     via decode_asset_real); the plumbing contract — binary in, binary out,

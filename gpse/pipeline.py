@@ -559,11 +559,13 @@ def q_fingerprints(spark, sf):
         "doc_id",
         textfuncs.fingerprint(F.col("text")).alias("fp"),
         F.substring(textfuncs.fingerprint(F.col("text")), 1, 8).alias("fp_short"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha256"),
     ).orderBy("doc_id")
 
 
 SQL_FINGERPRINTS = """
-SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_short
+SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_short,
+       sha256(text) AS sha256
 FROM documents ORDER BY doc_id
 """
 
@@ -583,3 +585,90 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
 }
+
+# --------------------------------------------------------------------------
+# grouped-map & cogrouped applyInPandas (the Python-UDAF idiom, §2.4/§2.10)
+# --------------------------------------------------------------------------
+
+def q_group_sample(spark, sf):
+    """Deterministic per-group sample (the reservoir-sample UDAF pattern):
+    keep the k=3 docs per source with smallest md5('42:'||doc_id) — a seeded
+    hash order, so the 'random' sample is reproducible AND SQL-mirrorable.
+    Grouped-map applyInPandas = Spark's Python-UDAF idiom."""
+    import hashlib
+
+    import pandas as pd
+
+    d = T(spark, sf, "documents")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(f"42:{i}".encode()).hexdigest() for i in pdf["doc_id"]]
+        out = pdf.assign(_h=h).sort_values("_h").head(3)
+        return out[["source", "doc_id"]]
+
+    return (
+        d.groupBy("source")
+        .applyInPandas(pick, "source string, doc_id long")
+        .orderBy("source", "doc_id")
+    )
+
+
+SQL_GROUP_SAMPLE = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY md5('42:' || doc_id)) AS rn
+  FROM documents) WHERE rn <= 3
+ORDER BY source, doc_id
+"""
+
+_LANG_WEIGHTS = {"en": 1.5, "de": 1.2, "fr": 1.1, "es": 1.0, "zh": 0.8, "pl": 0.9}
+
+
+def q_cogroup_lang_stats(spark, sf):
+    """Cogrouped applyInPandas: documents ⊳⊲ per-lang reference weights,
+    custom pandas merge per key (the frontier⊳⊲policy fallback pattern,
+    §2.10)."""
+    import pandas as pd
+
+    d = T(spark, sf, "documents")
+    ref = spark.createDataFrame(
+        [(k, v) for k, v in _LANG_WEIGHTS.items()], "lang string, weight double"
+    )
+
+    def merge(key, docs: pd.DataFrame, refs: pd.DataFrame) -> pd.DataFrame:
+        w = float(refs["weight"].iloc[0]) if len(refs) else 0.0
+        return pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "n_docs": [len(docs)],
+                "weighted": [round(len(docs) * w, 2)],
+            }
+        )
+
+    return (
+        d.groupBy("lang")
+        .cogroup(ref.groupBy("lang"))
+        .applyInPandas(merge, "lang string, n_docs long, weighted double")
+        .filter(F.col("n_docs") > 0)
+        .orderBy("lang")
+    )
+
+
+def _sql_cogroup() -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _LANG_WEIGHTS.items())
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       round(count(*) * (CASE lang {cases} ELSE 0.0 END), 2) AS weighted
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+SQL_COGROUP = _sql_cogroup()
+
+
+QUERIES.update(
+    {
+        "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
+        "cogroup_lang_stats": (q_cogroup_lang_stats, SQL_COGROUP),
+    }
+)

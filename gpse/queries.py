@@ -627,3 +627,136 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "conditional": (q_conditional, SQL_CONDITIONAL),
     "correlated_scalar": (q_correlated_scalar, SQL_CORRELATED),
 }
+
+def q_windows_extra(spark, sf):
+    """dense_rank / lead / range frame — the remaining window-op family."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.dense_rank().over(Window.partitionBy("user_id").orderBy("event_type")).alias("type_rank"),
+        F.lead("event_id", 1).over(w).alias("next_event"),
+        # float RANGE frame — the DataFrame API only takes int offsets, so
+        # this one window uses the SQL expression form
+        F.expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY value "
+            "RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)"
+        ).alias("n_within_10"),
+    )
+
+
+SQL_WINDOWS_EXTRA = """
+SELECT user_id, event_id,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank,
+       lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
+       count(*) OVER (PARTITION BY user_id ORDER BY value
+                      RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW) AS n_within_10
+FROM events
+"""
+
+
+def q_mode_agg(spark, sf):
+    """Deterministic mode: dominant language per source (§2.4). Built-in
+    mode() breaks ties engine-specifically, so the tiebreak is explicit:
+    highest count, then lexicographically-smallest lang."""
+    d = T(spark, sf, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    totals = d.groupBy("source").agg(F.count("*").alias("n"))
+    return (
+        top.select("source", F.col("lang").alias("top_lang"))
+        .join(totals, "source")
+        .orderBy("source")
+    )
+
+
+SQL_MODE = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+top AS (
+  SELECT source, lang AS top_lang,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+  FROM counts)
+SELECT t.source, t.top_lang, n FROM top t
+JOIN (SELECT source, count(*) AS n FROM documents GROUP BY source) s
+  ON t.source = s.source
+WHERE rn = 1 ORDER BY t.source
+"""
+
+
+def q_math_funcs(spark, sf):
+    """math family: log1p / pmod / pow / sqrt / ceil / floor / sign."""
+    l = T(spark, sf, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log1p("l_extendedprice"), 6).alias("log1p_price"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("bucket7"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("tax_pct_floor"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_side"),
+    )
+
+
+SQL_MATH = """
+SELECT l_orderkey, l_linenumber,
+       round(ln(1 + l_extendedprice), 6) AS log1p_price,
+       l_orderkey % 7 AS bucket7,
+       round(sqrt(l_quantity), 6) AS sqrt_qty,
+       ceil(l_discount * 100)::BIGINT AS disc_pct_ceil,
+       floor(l_tax * 100)::BIGINT AS tax_pct_floor,
+       sign(l_quantity - 25)::INT AS qty_side
+FROM lineitem
+"""
+
+
+def q_map_funcs(spark, sf):
+    """MapType ops: map_from_arrays / element_at / map_keys (header-map
+    pattern, §2.8). The oracle validates the round-tripped values."""
+    p = T(spark, sf, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_v"),
+        F.element_at(m, "type").alias("type_v"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+SQL_MAP = """
+SELECT p_partkey, p_brand AS brand_v, p_type AS type_v, 2 AS n_keys
+FROM part
+"""
+
+
+def q_from_json(spark, sf):
+    """from_json with a declared schema → typed struct field (§2.8 json)."""
+    e = T(spark, sf, "events")
+    parsed = F.from_json("props", "k INT")
+    return (
+        e.select("event_id", parsed.getField("k").alias("k_typed"))
+        .filter(F.col("k_typed") % 3 == 0)
+    )
+
+
+SQL_FROM_JSON = """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k_typed
+FROM events WHERE json_extract_string(props, '$.k')::INT % 3 = 0
+"""
+
+
+QUERIES.update(
+    {
+        "windows_extra": (q_windows_extra, SQL_WINDOWS_EXTRA),
+        "mode_agg": (q_mode_agg, SQL_MODE),
+        "math_funcs": (q_math_funcs, SQL_MATH),
+        "map_funcs": (q_map_funcs, SQL_MAP),
+        "from_json": (q_from_json, SQL_FROM_JSON),
+    }
+)

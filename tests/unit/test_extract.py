@@ -72,3 +72,24 @@ def test_malformed_html_is_deterministic():
     t2 = extract_one(html, BASE)
     assert t1 == t2
     assert t1[1] == ["http://h1.example/x"]
+
+
+def test_udtf_matches_extract_one(spark):
+    from gpse import synth
+    from gpse.extract import make_links_udtf
+
+    spark.udtf.register("t_extract_links", make_links_udtf())
+    cfg = synth.CorpusCfg(n_pages=30, n_hosts=5, seed=42)
+    # drop re-crawl duplicate captures — one row per url for the comparison
+    synth.gen_pages(spark, cfg, partitions=2).dropDuplicates(["url"]).createOrReplaceTempView("t_udtf_pages")
+    rows = spark.sql(
+        "SELECT p.url, f.pos, f.link FROM t_udtf_pages p, "
+        "LATERAL t_extract_links(p.url, p.html) f"
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.url, []).append((r.pos, r.link))
+    pages = {r.url: r.html for r in spark.table("t_udtf_pages").collect()}
+    for url, pairs in got.items():
+        _, links = extract_one(pages[url], url)
+        assert [l for _, l in sorted(pairs)] == links

@@ -63,3 +63,12 @@ def test_resize_stub_preserves_contract(spark, assets):
     out = M.resize_stub(assets, 64, 64)
     assert out.schema.simpleString() == assets.schema.simpleString()
     assert out.count() == assets.count()
+
+
+def test_byte_stats_arrow_matches_length(spark, assets):
+    got = {r.asset_id: r.n_bytes for r in M.byte_stats_arrow(assets).collect()}
+    want = {
+        r.asset_id: len(r.data)
+        for r in assets.select("asset_id", "data").collect()
+    }
+    assert got == want
