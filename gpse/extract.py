@@ -134,7 +134,7 @@ def make_links_udtf():
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, link string")
+    @udtf(returnType="pos int, link string", useArrow=True)
     class ExtractLinks:
         def eval(self, url: str, html: bytes):
             _, links = extract_one(html, url)

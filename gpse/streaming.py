@@ -63,6 +63,45 @@ def streaming_dedup_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def host_token_bucket(pages: DataFrame, budget_total: int = 5) -> DataFrame:
+    """Custom stateful per-key operator (§2.9): a per-host token bucket that
+    persists ACROSS micro-batches via applyInPandasWithState — the
+    streaming-native form of the politeness budget. Each host gets
+    `budget_total` fetches for the stream's lifetime; the rest are marked
+    deferred. State = tokens used so far, kept in the state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+
+    def bucket(key, pdfs, state: GroupState):
+        used = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n = len(pdf)
+            take = max(0, min(budget_total - used, n))
+            used += take
+            yield pd.DataFrame(
+                {
+                    "host": [key[0]] * n,
+                    "url": pdf["url"],
+                    "allowed": [True] * take + [False] * (n - take),
+                }
+            )
+        state.update((used,))
+
+    return (
+        pages.withColumn("host", host)
+        .groupBy("host")
+        .applyInPandasWithState(
+            bucket,
+            outputStructType="host string, url string, allowed boolean",
+            stateStructType="used long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, mode: str = "append") -> list:
     """Drain a file-backed stream with Trigger.AvailableNow into a memory
     sink and return the rows (deterministic test/demo harness).

@@ -1,0 +1,98 @@
+"""Physical-plan discipline (SURVEY.md §4): the optimizations the 100 TB
+design depends on must be visible in `.explain` — pushdown, pruning,
+broadcast strategies, whole-stage codegen, Arrow-only Python. These tests
+pin the PLANS, not the results, so a regression that silently de-optimizes
+a path fails loudly."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, extended=False) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("extended" if extended else "formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from gpse.queries import q_filter_project
+
+    p = plan_of(q_filter_project(spark, SF))
+    assert "PushedFilters: [" in p and "GreaterThanOrEqual(l_quantity,30.0)" in p, p
+    # projection needs 5 columns — ReadSchema must not include the rest
+    rs = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" not in rs and "l_shipdate" not in rs, rs
+
+
+def test_broadcast_join_strategy(spark):
+    from gpse.queries import q_broadcast_chain
+
+    p = plan_of(q_broadcast_chain(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_partial_final_aggregation_and_codegen(spark):
+    from gpse.queries import q_pricing_summary
+
+    df = q_pricing_summary(spark, SF)
+    p = plan_of(df)
+    assert p.count("HashAggregate") >= 2  # partial + final (map-side combine)
+    assert "partial_sum" in p
+    # codegen spans only appear on the executed (AQE-final) plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed  # '*(n)' = WholeStageCodegen span markers
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Every Python stage must be Arrow-vectorized: ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas — never BatchEvalPython."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        if name in ("crawl_round",):  # runs a full loop; covered below
+            continue
+        try:
+            p = plan_of(fn(spark, SF))
+        except Exception:
+            continue  # plan-only test; execution issues are other tests' job
+        assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python"
+
+
+def test_fetch_from_corpus_no_html_shuffle(spark):
+    """The html-bearing side must reach the parser without any Exchange:
+    scheduled side broadcasts; origin files stream in place."""
+    from gpse import fetch as fetch_mod
+    from gpse import frontier, robots, synth
+
+    cfg = synth.CorpusCfg(n_pages=200, n_hosts=10, seed=42)
+    pol = robots.build_host_policy(synth.gen_robots(spark, cfg))
+    f0 = frontier.from_seeds(spark, synth.seed_urls(cfg), 4)
+    sched, _ = frontier.schedule_batch(f0, pol, None, 4)
+    bodies = synth.gen_pages(spark, cfg, 2).select("url", "warc_ts", "html")
+    p = plan_of(fetch_mod.fetch_from_corpus(sched, bodies, 4))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_anti_join_dedup_plan(spark):
+    from gpse.queries import q_anti_join
+
+    p = plan_of(q_anti_join(spark, SF))
+    assert "LeftAnti" in p
+
+
+def test_topk_is_take_ordered(spark):
+    from gpse.queries import q_topk_global
+
+    p = plan_of(q_topk_global(spark, SF))
+    assert "TakeOrderedAndProject" in p  # no full global sort for top-k

@@ -44,3 +44,29 @@ def test_sessions_stream_runs(spark, pages_dir):
     got = S.run_available_now(S.host_fetch_sessions(stream), "t_sess", mode="complete")
     assert len(got) > 0
     assert all(r.n_fetches >= 1 for r in got)
+
+
+def test_host_token_bucket_state_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-host budget must hold ACROSS micro-batches
+    (maxFilesPerTrigger=1 forces several batches; state store carries the
+    used-token count between them)."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "tb_pages")
+    cfg = synth.CorpusCfg(n_pages=200, n_hosts=5, seed=42)
+    # several files → several micro-batches
+    synth.gen_pages(spark, cfg, partitions=4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(synth.PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = S.run_available_now(S.host_token_bucket(stream, budget_total=5), "t_bucket")
+    rows = len(got)
+    assert rows == spark.read.parquet(d).count()
+    per_host = {}
+    for r in got:
+        per_host[r.host] = per_host.get(r.host, 0) + (1 if r.allowed else 0)
+    assert all(v <= 5 for v in per_host.values()), per_host
+    # the cap binds for the zipf-head host (more than 5 pages arrived)
+    assert max(per_host.values()) == 5
