@@ -90,7 +90,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     policy = cat.load(spark, "host_policy")
     seen = cat.load(spark, "seen_exact", round_n)
 
-    sched, denied = frontier_mod.schedule_batch(
+    sched, denied, deferred0 = frontier_mod.schedule_batch(
         fr, policy, cfg.batch_size, cfg.num_partitions
     )
     if cfg.corpus_bodies_path:
@@ -146,15 +146,11 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         F.min("depth").alias("depth"), F.min("src_url_hash").alias("src_url_hash")
     )
 
-    # carry-over: URLs that were queued this round but neither scheduled
-    # (per-host budget overflow) nor robots-denied stay in the queue —
-    # re-enqueued for round+1 with their priority intact (D2
-    # 'budget_deferred'; a priority queue that drops overflow is wrong).
-    deferred = (
-        fr.join(pl.select("url_hash"), "url_hash", "left_anti")
-        .join(denied.select("url_hash"), "url_hash", "left_anti")
-        .withColumn("round", F.lit(round_n + 1).cast("int"))
-    )
+    # carry-over: budget/batch-overflow rows stay queued — re-enqueued for
+    # round+1 with priority intact (D2 'budget_deferred'; a priority queue
+    # that drops overflow is wrong). The scheduler emits them from the same
+    # window pipeline that enforced the budget.
+    deferred = deferred0.withColumn("round", F.lit(round_n + 1).cast("int"))
 
     new_part = frontier_mod.from_candidates(
         new_urls, round_n + 1, cfg.n_salts, cfg.depth_weight

@@ -84,9 +84,13 @@ def schedule_batch(
     host_policy: DataFrame,
     batch_size: int,
     num_partitions: int = 32,
-) -> tuple[DataFrame, DataFrame]:
-    """(scheduled, denied): the per-round fetch batch and the rows the
-    robots rules denied (kept for metrics / frontier state update)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(scheduled, denied, deferred): the per-round fetch batch, the rows
+    the robots rules denied permanently, and the budget-overflow rows that
+    stay queued for the next round ('budget_deferred'). The three partition
+    the round's queued set, all derived from ONE window pipeline — the
+    deferral complement falls out of the same row_number that enforces the
+    budget, so no re-derivation anti-joins."""
     q = frontier.filter(F.col("state") == "queued")
     j = q.join(
         F.broadcast(host_policy.select("host", "disallow", "allow", "crawl_delay_ms", "budget_per_round")),
@@ -126,19 +130,27 @@ def schedule_batch(
     denied = j.filter(~F.col("allowed")).select(*frontier.columns).withColumn(
         "state", F.lit("robots_denied")
     )
-    ok = j.filter(F.col("allowed"))
+    allowed = j.filter(F.col("allowed"))
     w = Window.partitionBy("host").orderBy("priority", "url_hash")
     budget = F.coalesce(F.col("budget_per_round"), F.lit(DEFAULT_BUDGET))
-    ok = ok.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= budget).drop("_rn")
+    allowed = allowed.withColumn("_rn", F.row_number().over(w))
+    ok = allowed.filter(F.col("_rn") <= budget).drop("_rn")
+    deferred = allowed.filter(F.col("_rn") > budget).select(*frontier.columns)
     if batch_size is not None:
         # priority-queue pop: global top-k by the total order. Spark's
         # TakeOrderedAndProject is driver-merged — right for k ≪ frontier;
         # for an uncapped round (batch_size=None) the budget window already
         # bounds the batch and the selection is a set, so no global sort.
-        ok = ok.orderBy("priority", "url_hash").limit(batch_size)
+        # Rows within budget but beyond the batch cap also defer.
+        capped = ok.orderBy("priority", "url_hash").limit(batch_size)
+        overflow = ok.join(capped.select("url_hash"), "url_hash", "left_anti").select(
+            *frontier.columns
+        )
+        deferred = deferred.unionByName(overflow)
+        ok = capped
     sched = (
         ok.select(*frontier.columns, F.coalesce(F.col("crawl_delay_ms"), F.lit(0)).alias("crawl_delay_ms"))
         .repartition(num_partitions, F.col("host"), F.col("salt"))
         .sortWithinPartitions("host", "priority", "url_hash")
     )
-    return sched, denied
+    return sched, denied, deferred

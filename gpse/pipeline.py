@@ -672,3 +672,69 @@ QUERIES.update(
         "cogroup_lang_stats": (q_cogroup_lang_stats, SQL_COGROUP),
     }
 )
+
+# --------------------------------------------------------------------------
+# IVF-style ANN (coarse k-means quantizer → probe nearest cells)
+# --------------------------------------------------------------------------
+
+def ivf_assign(spark, vectors: DataFrame, k: int = 8, seed: int = 42):
+    """Train a coarse quantizer (pyspark.ml KMeans, fixed seed) and assign
+    every vector to its cell. Returns (assigned_df, centers list)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    v = vectors.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
+    km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="features", predictionCol="cell")
+    model = km.fit(v)
+    assigned = model.transform(v).drop("features")
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def q_similarity_ivf(spark, sf):
+    """IVF ANN: coarse k-means cells; each query probes its nprobe=4 nearest
+    cells only (half the index) — the scale path where brute force is the
+    n² baseline. Random synthetic embeddings cluster weakly, so nprobe is
+    generous here; a real embedding space concentrates neighbors in 1-2
+    cells.
+    Returns top-3 per query from the probed cells (rows-only: k-means is
+    not SQL-expressible; recall vs brute force is pinned by a unit test)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    v = T(spark, sf, "embeddings")
+    assigned, centers = ivf_assign(spark, v)
+    c = np.asarray(centers)
+
+    queries = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    ).collect()
+    # nprobe=2 nearest cells per query (tiny driver-side math on centroids)
+    rows = []
+    for r in queries:
+        q = np.asarray(r.qvec, dtype=np.float64)
+        d = ((c - q) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:4]:
+            rows.append((r.query_id, int(cell)))
+    probe = spark.createDataFrame(rows, "query_id long, cell int")
+
+    qv = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cell")
+        .join(F.broadcast(qv), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        cand.withColumn("cos", _cosine("qvec", "embedding"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES.update({"similarity_ivf": (q_similarity_ivf, None)})

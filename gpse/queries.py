@@ -760,3 +760,70 @@ QUERIES.update(
         "from_json": (q_from_json, SQL_FROM_JSON),
     }
 )
+
+def q_stats_funcs(spark, sf):
+    """Statistical aggregates: stddev/variance/corr/covar (§2.4 breadth)."""
+    l = T(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 5).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("covar_qty_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_STATS = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 5) AS sd_qty,
+       round(var_samp(l_discount), 8) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_tax), 6) AS covar_qty_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_percentiles(spark, sf):
+    """Exact percentiles (interpolating): median / p90 per group."""
+    l = T(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_linestatus,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_hll_sketch(spark, sf):
+    """Mergeable HLL sketches (hll_sketch_agg → hll_union_agg → estimate) —
+    the seen-set sizing path at 10^10 (§2.4). Approximate by design →
+    rows-only check."""
+    l = T(spark, sf, "lineitem")
+    per_flag = l.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    return per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_union_orders")
+    )
+
+
+QUERIES.update(
+    {
+        "stats_funcs": (q_stats_funcs, SQL_STATS),
+        "percentiles": (q_percentiles, SQL_PERCENTILES),
+        "hll_sketch": (q_hll_sketch, None),
+    }
+)
