@@ -83,6 +83,13 @@ class Catalog:
         n = sum(1 for s in snaps if s.table == name)
         snap_id = f"snap-{name}-{n:05d}-r{round}"
         data_dir = os.path.join(self.base, name, snap_id)
+        # a prune() (crash rollback) can leave orphan dirs whose sequence
+        # number a later commit would reuse — skip past them (Iceberg's
+        # analogue: snapshot ids are never reused after expiry)
+        while os.path.exists(data_dir):
+            n += 1
+            snap_id = f"snap-{name}-{n:05d}-r{round}"
+            data_dir = os.path.join(self.base, name, snap_id)
         df.write.mode("errorifexists").parquet(data_dir)
         prev = self._latest(snaps, name, None)
         dirs = [data_dir] if mode == "overwrite" else (list(prev.dirs) if prev else []) + [data_dir]
@@ -115,6 +122,19 @@ class Catalog:
         if not cand:
             raise KeyError(f"no delta commit for table {name!r} at round {round}")
         return spark.read.parquet(cand[-1].data_dir)
+
+    def prune(self, keep) -> int:
+        """Atomically drop every manifest snapshot for which ``keep(snap)``
+        is false; returns how many were dropped. Data files stay on disk as
+        orphans (Iceberg's expired-snapshot model) — readers never see them
+        because reads go through the manifest only. This is the rollback
+        primitive crash recovery uses to discard a partially committed
+        round before re-running it (see gpse/crawl.py resume)."""
+        snaps = self._read_manifest()
+        kept = [s for s in snaps if keep(s)]
+        if len(kept) != len(snaps):
+            self._write_manifest(kept)
+        return len(snaps) - len(kept)
 
     def exists(self, name: str) -> bool:
         return self._latest(self._read_manifest(), name, None) is not None

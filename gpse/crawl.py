@@ -9,10 +9,12 @@ snapshot checkpoint". One round = one batch job over the catalog's tables:
     → commit pages/seen/frontier(R+1)/metrics + manifest
 
 Commit order makes the metrics commit the round's completion marker: a
-crash mid-round leaves the manifest at round R-1 state for at least one
-table, and `resume` restarts from the last round whose metrics committed —
-re-running a partial round is idempotent because every commit for that
-round is re-derived from the same deterministic inputs.
+crash mid-round leaves the manifest without round R's metrics, and
+`resume` (1) rolls back any of round R's partial commits from the
+manifest (`rollback_incomplete` — without this the re-run would chain
+onto the partial appends and duplicate pages/frontier/seen rows), then
+(2) re-runs the round, whose commits are re-derived from the same
+deterministic inputs.
 
 Determinism (north_rule "matching crawl ordering and final URL-seen set"):
 the scheduled batch is picked by the total order (priority, url_hash), so
@@ -139,12 +141,10 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         .withColumn("url_hash", F.xxhash64("url"))
     )
     blooms = cat.load(spark, "seen_bloom", round_n) if cfg.use_bloom else None
+    # dedup_new_urls reduces per-URL attributes deterministically (min depth,
+    # min src_url_hash) BEFORE the seen anti-join — a url discovered from
+    # several sources keeps a partition-layout-independent (depth, src)
     new_urls = seen_mod.dedup_new_urls(cands, seen, blooms, cfg.n_bloom_buckets)
-    # one url may be discovered from several sources: keep smallest depth,
-    # deterministic tiebreak on src
-    new_urls = new_urls.groupBy("url", "url_hash").agg(
-        F.min("depth").alias("depth"), F.min("src_url_hash").alias("src_url_hash")
-    )
 
     # carry-over: budget/batch-overflow rows stay queued — re-enqueued for
     # round+1 with priority intact (D2 'budget_deferred'; a priority queue
@@ -207,6 +207,24 @@ def last_complete_round(cat: Catalog) -> int | None:
     return cat.latest_round("metrics")
 
 
+def rollback_incomplete(cat: Catalog) -> int:
+    """Discard snapshots from a partially committed round so re-running it
+    is exactly idempotent. A crash between the pages/frontier/seen commits
+    and the metrics completion marker would otherwise leave those append
+    commits chained in the manifest, and the re-run would duplicate round-R
+    pages and round-R+1 frontier/seen rows.
+
+    After a complete round R the valid manifest state is: pages/metrics
+    snapshots at rounds ≤ R, frontier/seen_exact/seen_bloom at rounds
+    ≤ R+1 (init writes them at round 0 before any metrics exist — that is
+    the L=-1 case). Everything beyond is a partial round: drop it."""
+    last = last_complete_round(cat)
+    lim = -1 if last is None else last
+    return cat.prune(
+        lambda s: s.round <= (lim if s.table in ("pages", "metrics") else lim + 1)
+    )
+
+
 def run(
     spark: SparkSession,
     cat: Catalog,
@@ -221,7 +239,10 @@ def run(
 
 def resume(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, n_more_rounds: int) -> list[dict]:
     """Continue from the last complete round's snapshot checkpoint —
-    bit-identical to an uninterrupted run (tested in tests/e2e)."""
+    bit-identical to an uninterrupted run, even when the previous process
+    crashed mid-round after some of that round's commits (tested in
+    tests/e2e: partial-commit manifests are rolled back first)."""
+    rollback_incomplete(cat)
     last = last_complete_round(cat)
     start = 0 if last is None else last + 1
     return [run_round(spark, cat, cfg, r) for r in range(start, start + n_more_rounds)]

@@ -137,19 +137,40 @@ def fetch_from_corpus(
 
     # A URL can have several captures (re-crawls): serve the latest — the
     # as-of pattern (SURVEY.md §2.3). Done WITHOUT shuffling html: the
-    # max-warc_ts per scheduled url is computed on a column-pruned scan
-    # (url+warc_ts only) and broadcast back; the html-bearing scan joins
-    # two broadcasts and never moves.
-    ok0 = corpus_bodies.select("url", "warc_ts", "html").join(
-        F.broadcast(s), "url", "inner"
-    )
-    maxts = (
-        corpus_bodies.select("url", "warc_ts")
+    # max (warc_ts, content-hash) key per scheduled url is computed on a
+    # slim scan and broadcast back; the html-bearing scan joins broadcasts
+    # and never moves. The content hash is in the key so two captures
+    # sharing a warc_ts resolve DETERMINISTICALLY (max hash wins), not by
+    # partition layout.
+    ok0 = corpus_bodies.select(
+        "url", "warc_ts", "html", F.xxhash64("html").alias("_hh")
+    ).join(F.broadcast(s), "url", "inner")
+    maxkey = (
+        corpus_bodies.select("url", "warc_ts", F.xxhash64("html").alias("_hh"))
         .join(F.broadcast(s.select("url")), "url", "inner")
         .groupBy("url")
-        .agg(F.max("warc_ts").alias("warc_ts"))
+        .agg(F.max(F.struct("warc_ts", "_hh")).alias("_k"))
+        .select("url", F.col("_k.warc_ts").alias("warc_ts"), F.col("_k._hh").alias("_hh"))
     )
-    ok = ok0.join(F.broadcast(maxts), ["url", "warc_ts"], "inner")
+    ok = ok0.join(F.broadcast(maxkey), ["url", "warc_ts", "_hh"], "inner")
+    # Byte-identical duplicate captures (same url, warc_ts AND bytes) would
+    # still match the max key twice. Split them out lazily: urls whose max
+    # key occurs once (all of them, in practice) pass through untouched —
+    # zero html shuffle; the rare duplicated remainder is collapsed with a
+    # dropDuplicates whose surviving values are identical by construction.
+    dupkeys = (
+        corpus_bodies.select("url", "warc_ts", F.xxhash64("html").alias("_hh"))
+        .join(F.broadcast(maxkey), ["url", "warc_ts", "_hh"], "left_semi")
+        .groupBy("url", "warc_ts", "_hh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
+    clean = ok.join(F.broadcast(dupkeys), ["url", "warc_ts", "_hh"], "left_anti")
+    dupped = ok.join(
+        F.broadcast(dupkeys), ["url", "warc_ts", "_hh"], "left_semi"
+    ).dropDuplicates(["url"])
+    ok = clean.unionByName(dupped).drop("_hh")
     ok = ok.select(
         "url", "url_hash", "host", "depth", "src_url_hash",
         F.spark_partition_id().alias("partition_id"),

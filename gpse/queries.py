@@ -460,7 +460,9 @@ FROM events GROUP BY 1 ORDER BY hour
 
 def q_session_window(spark, sf):
     """Session windows per user (30-min idle gap): F.session_window vs the
-    SQL gaps-and-islands encoding — same sessions, same aggregates."""
+    SQL gaps-and-islands encoding — same sessions, same aggregates. Spark
+    session windows are END-EXCLUSIVE (a gap of exactly 30 min starts a new
+    session), so the SQL's new-session predicate is >=, not >."""
     e = T(spark, sf, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -474,7 +476,7 @@ SQL_SESSION_WINDOW = """
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 30 MINUTE OR
+                   >= INTERVAL 30 MINUTE OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events),

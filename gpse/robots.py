@@ -48,7 +48,7 @@ def parse_robots(body: str) -> tuple[list[str], list[str], int]:
     allow: list[str] = []
     delay_ms = 0
     applies = False
-    seen_ua = False
+    in_header = False  # inside a group's run of consecutive User-agent lines
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -57,21 +57,28 @@ def parse_robots(body: str) -> tuple[list[str], list[str], int]:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            if seen_ua and (disallow or allow or delay_ms):
-                # a later group only applies if it names us again
-                applies = val == "*" or applies
+            # RFC 9309 §2.1 group structure: consecutive UA lines form ONE
+            # group header (the group applies if ANY of them names us); a UA
+            # line after rule lines STARTS A NEW GROUP (previous applicability
+            # is reset, never carried over).
+            if in_header:
+                applies = applies or (val == "*")
             else:
                 applies = val == "*"
-            seen_ua = True
-        elif key == "disallow" and applies and val:
-            disallow.append(val)
-        elif key == "allow" and applies and val:
-            allow.append(val)
-        elif key == "crawl-delay" and applies:
-            try:
-                delay_ms = int(float(val) * 1000)
-            except ValueError:
-                pass
+                in_header = True
+        elif key in ("disallow", "allow", "crawl-delay"):
+            in_header = False  # rule line closes the group header
+            if not applies:
+                continue
+            if key == "disallow" and val:
+                disallow.append(val)
+            elif key == "allow" and val:
+                allow.append(val)
+            elif key == "crawl-delay":
+                try:
+                    delay_ms = int(float(val) * 1000)
+                except ValueError:
+                    pass
     return disallow, allow, delay_ms
 
 

@@ -128,8 +128,13 @@ def dedup_new_urls(
     """Truly-new URLs: candidates ∖ seen_exact (north_star dedup).
 
     Plan shape (SURVEY.md §3.1 step 6):
-      1. in-batch exact dedup — dropDuplicates on url_hash (partial+final
-         hash agg, map-side combined);
+      1. in-batch exact dedup — groupBy(url_hash[, url]) with min() over
+         every attribute column (partial+final hash agg, map-side
+         combined). min(), NOT dropDuplicates: a URL discovered from many
+         sources must keep a DETERMINISTIC (depth, src) — dropDuplicates
+         keeps an arbitrary partition-layout-dependent row, which would
+         leak into priority=depth and break the north_rule's
+         partition-count-independent crawl ordering;
       2. optional bloom pre-filter — the per-bucket blobs travel as a REAL
          SparkContext broadcast captured in the UDF closure, shipped once
          per executor. (Never join the blob column onto candidate rows: a
@@ -139,7 +144,16 @@ def dedup_new_urls(
       3. exact left-anti join on url_hash for the maybe-seen remainder —
          the only shuffle, on the same key seen_exact is sharded by.
     """
-    cand = candidates.dropDuplicates(["url_hash"])
+    keys = [c for c in ("url_hash", "url") if c in candidates.columns]
+    attrs = [c for c in candidates.columns if c not in keys]
+    if attrs:
+        cand = (
+            candidates.groupBy(*keys)
+            .agg(*[F.min(c).alias(c) for c in attrs])
+            .select(*candidates.columns)
+        )
+    else:
+        cand = candidates.dropDuplicates(keys)
     if blooms is None:
         return cand.join(seen.select("url_hash"), "url_hash", "left_anti")
 

@@ -131,3 +131,51 @@ def test_bloom_matches_exact_dedup(spark, baseline, tmp_path):
     cat_c = Catalog(str(tmp_path / "nobloom"))
     crawl.run(spark, cat_c, _cfg(4, use_bloom=False), 3)
     assert _seen_set(spark, cat_a) == _seen_set(spark, cat_c)
+
+
+def test_crash_midround_resume_is_idempotent(spark, baseline, tmp_path):
+    """Crash AFTER round 1's pages/frontier/seen commits but BEFORE its
+    metrics completion marker: resume must roll the partial commits back
+    and re-run round 1, landing bit-identical to the uninterrupted run —
+    no duplicated pages, no duplicate url_hash in seen_exact."""
+    cat_a, _ = baseline  # uninterrupted 3 rounds
+    d = str(tmp_path / "crashed")
+    cat_b = Catalog(d)
+    crawl.run(spark, cat_b, _cfg(4), 2)
+    # simulate the crash: drop ONLY round 1's metrics commit, keeping the
+    # partial pages@1 / frontier@2 / seen@2 / bloom@2 commits in place
+    cat_b.prune(lambda s: not (s.table == "metrics" and s.round == 1))
+    cat_b2 = Catalog(d)  # "restart"
+    assert crawl.last_complete_round(cat_b2) == 0
+    crawl.resume(spark, cat_b2, _cfg(4), 2)  # re-run round 1, then round 2
+    seen = cat_b2.load(spark, "seen_exact")
+    assert seen.count() == seen.select("url_hash").distinct().count()
+    assert _seen_set(spark, cat_a) == _seen_set(spark, cat_b2)
+    assert cat_a.load(spark, "pages").count() == cat_b2.load(spark, "pages").count()
+
+
+def test_discovery_attributes_partition_independent(spark):
+    """A URL discovered from several sources must keep the SAME (depth,
+    src_url_hash) — the min over all discoveries — at any partitioning
+    (the determinism ADVICE r01 flagged: dropDuplicates kept an arbitrary
+    row)."""
+    from gpse import seen as seen_mod
+
+    rows = [
+        ("http://h1.example/p/9", 1001, 3, 300),
+        ("http://h1.example/p/9", 1001, 1, 200),
+        ("http://h1.example/p/9", 1001, 1, 50),
+        ("http://h1.example/p/7", 1002, 2, 10),
+    ]
+    schema = "url string, url_hash long, depth int, src_url_hash long"
+    empty_seen = spark.createDataFrame([], "url_hash long, first_round int")
+    got = {}
+    for parts in (1, 3, 7):
+        cand = spark.createDataFrame(rows, schema).repartition(parts)
+        out = seen_mod.dedup_new_urls(cand, empty_seen).collect()
+        got[parts] = sorted((r.url, r.depth, r.src_url_hash) for r in out)
+    assert got[1] == got[3] == got[7]
+    assert got[1] == [
+        ("http://h1.example/p/7", 2, 10),
+        ("http://h1.example/p/9", 1, 50),
+    ]

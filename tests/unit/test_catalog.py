@@ -48,3 +48,24 @@ def test_snapshot_log_visible(spark, tmp_path):
     snaps = cat.snapshots()
     assert {s["table"] for s in snaps} == {"a", "b"}
     assert all(s["snapshot_id"] for s in snaps)
+
+
+def test_prune_drops_snapshots_and_reverts_reads(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.commit("t", spark.range(5), 0, mode="append")
+    cat.commit("t", spark.range(7), 1, mode="append")
+    dropped = cat.prune(lambda s: s.round <= 0)
+    assert dropped == 1
+    assert cat.load(spark, "t").count() == 5
+    assert cat.latest_round("t") == 0
+
+
+def test_commit_after_prune_never_reuses_orphan_dirs(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.commit("t", spark.range(5), 0, mode="append")
+    cat.commit("t", spark.range(7), 1, mode="append")
+    cat.prune(lambda s: s.round <= 0)
+    # the orphan snap dir for round 1 still exists on disk; a new commit
+    # must skip past it instead of failing errorifexists
+    cat.commit("t", spark.range(3), 1, mode="append")
+    assert cat.load(spark, "t").count() == 8

@@ -1,0 +1,94 @@
+"""fetch_from_corpus capture selection: latest warc_ts per url, ties
+broken deterministically by content hash, byte-identical duplicate
+captures collapsed to one row (ADVICE r01)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gpse import fetch as fetch_mod
+
+SCHED_SCHEMA = (
+    "round int, url string, url_hash long, host string, salt smallint, "
+    "priority double, depth int, src_url_hash long, state string, "
+    "crawl_delay_ms long"
+)
+
+
+def _sched(spark, urls):
+    rows = [
+        (0, u, i + 1, "h1.example", 0, 0.0, 0, None, "queued", 0)
+        for i, u in enumerate(urls)
+    ]
+    return spark.createDataFrame(rows, SCHED_SCHEMA)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(u, ts, h) for (u, ts, h) in rows], "url string, warc_ts timestamp, html binary"
+    )
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+T1 = dt.datetime(2024, 1, 2, 0, 0, 0)
+
+
+def test_latest_capture_wins(spark):
+    sched = _sched(spark, ["http://h1.example/p/1"])
+    corpus = _corpus(
+        spark,
+        [
+            ("http://h1.example/p/1", T0, b"old"),
+            ("http://h1.example/p/1", T1, b"new"),
+        ],
+    )
+    out = fetch_mod.fetch_from_corpus(sched, corpus, 2).collect()
+    assert len(out) == 1
+    assert bytes(out[0].html) == b"new"
+
+
+def test_same_ts_tie_broken_deterministically(spark):
+    sched = _sched(spark, ["http://h1.example/p/1"])
+    variants = [b"aaa", b"bbb"]
+    corpus = _corpus(
+        spark, [("http://h1.example/p/1", T0, h) for h in variants]
+    )
+    picks = set()
+    for parts in (1, 4):
+        out = fetch_mod.fetch_from_corpus(sched, corpus.repartition(parts), 2).collect()
+        assert len(out) == 1
+        picks.add(bytes(out[0].html))
+    assert len(picks) == 1  # same winner at any partitioning
+    # and the winner is the max xxhash64(html) — recompute engine-side
+    want = (
+        _corpus(spark, [("x", T0, h) for h in variants])
+        .select("html", F.xxhash64("html").alias("hh"))
+        .orderBy(F.desc("hh"))
+        .first()
+    )
+    assert picks == {bytes(want.html)}
+
+
+def test_identical_duplicate_captures_collapse(spark):
+    sched = _sched(spark, ["http://h1.example/p/1", "http://h1.example/p/2"])
+    corpus = _corpus(
+        spark,
+        [
+            ("http://h1.example/p/1", T0, b"same"),
+            ("http://h1.example/p/1", T0, b"same"),
+            ("http://h1.example/p/2", T0, b"solo"),
+        ],
+    )
+    out = fetch_mod.fetch_from_corpus(sched, corpus, 2)
+    assert out.count() == 2
+    assert out.filter(F.col("url").endswith("/1")).count() == 1
+
+
+def test_missing_urls_are_404(spark):
+    sched = _sched(spark, ["http://h1.example/p/1", "http://h1.example/nope"])
+    corpus = _corpus(spark, [("http://h1.example/p/1", T0, b"x")])
+    out = {r.url: r.status for r in fetch_mod.fetch_from_corpus(sched, corpus, 2).collect()}
+    assert out["http://h1.example/p/1"] == 200
+    assert out["http://h1.example/nope"] == 404

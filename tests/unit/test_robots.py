@@ -50,3 +50,55 @@ def test_no_rules_allows():
 def test_comments_stripped():
     dis, _, _ = parse_robots("User-agent: *\nDisallow: /x # comment\n")
     assert dis == ["/x"]
+
+
+# ---- RFC 9309 §2.1 group structure (multi-group / multi-UA-line bodies) ----
+
+def test_group_multiple_ua_lines_share_rules():
+    # consecutive UA lines form one group header: rules apply to BOTH agents
+    dis, _, _ = parse_robots(
+        "User-agent: *\nUser-agent: googlebot\nDisallow: /\n"
+    )
+    assert dis == ["/"]
+
+
+def test_group_ua_line_after_rules_starts_new_group():
+    # a UA line following rule lines starts a NEW group; earlier
+    # applicability must not leak into it
+    dis, _, _ = parse_robots(
+        "User-agent: *\nDisallow: /a\nUser-agent: googlebot\nDisallow: /b\n"
+    )
+    assert dis == ["/a"]
+
+
+def test_group_later_star_group_applies():
+    dis, _, _ = parse_robots(
+        "User-agent: googlebot\nDisallow: /x\nUser-agent: *\nDisallow: /y\n"
+    )
+    assert dis == ["/y"]
+
+
+def test_group_star_then_named_in_same_header_applies():
+    dis, _, _ = parse_robots(
+        "User-agent: googlebot\nUser-agent: *\nDisallow: /z\n"
+    )
+    assert dis == ["/z"]
+
+
+def test_group_rules_from_two_matching_groups_merge():
+    # RFC 9309 §2.2.1: multiple matching groups' rules are combined
+    dis, alw, delay = parse_robots(
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: googlebot\nDisallow: /g\n\n"
+        "User-agent: *\nDisallow: /b\nAllow: /b/ok\nCrawl-delay: 1\n"
+    )
+    assert dis == ["/a", "/b"]
+    assert alw == ["/b/ok"]
+    assert delay == 1000
+
+
+def test_group_crawl_delay_of_other_agent_ignored():
+    _, _, delay = parse_robots(
+        "User-agent: googlebot\nCrawl-delay: 9\nUser-agent: *\nDisallow: /p\n"
+    )
+    assert delay == 0
