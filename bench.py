@@ -40,7 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_lsh",
-    "token_counts",
+    "tokens_fingerprints",
 ]
 
 # steady-state crawl round: a pre-filled frontier (the 10^10 design point's

@@ -464,23 +464,31 @@ ORDER BY vec_a, vec_b
 # text analysis
 # --------------------------------------------------------------------------
 
-def q_token_counts(spark, sf):
+def q_tokens_fingerprints(spark, sf):
+    """Token counting (whitespace + BPE-ish word tokens) AND document
+    fingerprinting (md5 full/short, sha256) in one per-doc projection —
+    two text-analysis ops, one driver correctness row."""
     d = T(spark, sf, "documents")
     return d.select(
         "doc_id",
         textfuncs.token_count(F.col("text")).alias("n_tokens"),
         textfuncs.word_token_count(F.col("text")).alias("n_word_tokens"),
         F.length("text").alias("n_chars_measured"),
+        textfuncs.fingerprint(F.col("text")).alias("fp"),
+        F.substring(textfuncs.fingerprint(F.col("text")), 1, 8).alias("fp_short"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha256"),
     ).orderBy("doc_id")
 
 
-SQL_TOKEN_COUNTS = """
+SQL_TOKENS_FP = """
 SELECT doc_id,
        len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS n_tokens,
        len(list_filter(string_split_regex(
            regexp_replace(text, '[A-Za-z]+|[0-9]+', ' W ', 'g'), '\\s+'),
            t -> t != '')) AS n_word_tokens,
-       length(text) AS n_chars_measured
+       length(text) AS n_chars_measured,
+       md5(text) AS fp, substring(md5(text), 1, 8) AS fp_short,
+       sha256(text) AS sha256
 FROM documents ORDER BY doc_id
 """
 
@@ -553,23 +561,6 @@ FROM t ORDER BY doc_id
 """
 
 
-def q_fingerprints(spark, sf):
-    d = T(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        textfuncs.fingerprint(F.col("text")).alias("fp"),
-        F.substring(textfuncs.fingerprint(F.col("text")), 1, 8).alias("fp_short"),
-        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha256"),
-    ).orderBy("doc_id")
-
-
-SQL_FINGERPRINTS = """
-SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_short,
-       sha256(text) AS sha256
-FROM documents ORDER BY doc_id
-"""
-
-
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
@@ -580,10 +571,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "similarity_bruteforce": (q_similarity_bruteforce, SQL_SIM_BRUTE),
     "similarity_topk": (q_similarity_topk, None),
     "similarity_lsh": (q_similarity_lsh, SQL_SIM_LSH),
-    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "tokens_fingerprints": (q_tokens_fingerprints, SQL_TOKENS_FP),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
-    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
 }
 
 # --------------------------------------------------------------------------
