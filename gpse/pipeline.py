@@ -29,9 +29,22 @@ from pyspark.sql import functions as F
 from gpse import textfuncs
 from gpse.queries import T
 
-MINHASH_K = 8          # permutations
-LSH_BANDS = 4          # bands of 2 rows each
-SIMHASH_BITS = 16      # md5-nibble parity bits
+# Production defaults (the 100 TB design point): 128 permutations in 16
+# bands of 8 rows ≈ Jaccard-0.7 knee; 64-bit SimHash (4 × 16-bit blocks,
+# Hamming ≤ 3 banded by the pigeonhole principle). The ORACLE fixtures use
+# deliberately small parameters so the DuckDB mirror stays tractable and
+# collisions actually occur in 500-doc test tables — same code path, same
+# SQL generators, different knobs.
+MINHASH_K = 128        # permutations (production)
+LSH_BANDS = 16         # bands of 8 rows each (production)
+MINHASH_K_ORACLE = 8
+LSH_BANDS_ORACLE = 4
+SIMHASH_BITS = 16      # md5-nibble parity bits per block
+SIMHASH_BLOCKS = 4     # 4 × 16 = 64-bit simhash
+SIMHASH_MAX_HAMMING = 3  # ≤ 3 over 64 bits ⇒ ≥ 1 of 4 blocks identical
+JACCARD_MAX_DF = 100   # drop stop-shingles above this doc-frequency
+LSH_COS_TABLES = 4     # random-hyperplane tables
+LSH_COS_BITS = 8       # sign bits per table → 256 buckets/table
 _HEX = "0123456789abcdef"
 
 
@@ -106,21 +119,21 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id
 # MinHash + LSH near-dup candidates
 # --------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """K min-hash values per doc: permutation k ≙ md5('k:' || shingle),
     min taken lexicographically (md5 hex is fixed-width, so lexicographic
     min == numeric min). explode → K parallel min-aggs, one shuffle."""
     ex = exploded_shingles(docs)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
-        for k in range(MINHASH_K)
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(k)
     ]
     return ex.groupBy("doc_id").agg(*aggs)
 
 
-def _sql_minhash_inner() -> str:
+def _sql_minhash_inner(k: int = MINHASH_K_ORACLE) -> str:
     aggs = ",\n         ".join(
-        f"min(md5('{k}:' || sh)) AS mh{k}" for k in range(MINHASH_K)
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(k)
     )
     return f"""
   WITH exploded AS ({SQL_EXPLODED_SHINGLES})
@@ -129,27 +142,31 @@ def _sql_minhash_inner() -> str:
 
 
 def q_minhash_signatures(spark, sf):
-    return minhash_signatures(T(spark, sf, "documents")).orderBy("doc_id")
+    return minhash_signatures(T(spark, sf, "documents"), k=MINHASH_K_ORACLE).orderBy(
+        "doc_id"
+    )
 
 
 SQL_MINHASH = _sql_minhash_inner() + " ORDER BY doc_id"
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
     """Band the K signatures (rows=K/bands per band), bucket-join on
     (band_id, band_hash): only colliding buckets meet — the n²-free path."""
-    rows_per_band = MINHASH_K // LSH_BANDS
-    bands = F.array(
+    rows_per_band = k // bands
+    band_arr = F.array(
         *[
             F.md5(
                 F.concat_ws(
                     "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
                 )
             )
-            for b in range(LSH_BANDS)
+            for b in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
+    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band_id", "band_hash"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -167,21 +184,23 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    return lsh_candidate_pairs(minhash_signatures(T(spark, sf, "documents"))).orderBy(
-        "doc_a", "doc_b"
-    )
+    return lsh_candidate_pairs(
+        minhash_signatures(T(spark, sf, "documents"), k=MINHASH_K_ORACLE),
+        k=MINHASH_K_ORACLE,
+        bands=LSH_BANDS_ORACLE,
+    ).orderBy("doc_a", "doc_b")
 
 
-def _sql_lsh() -> str:
-    rows_per_band = MINHASH_K // LSH_BANDS
+def _sql_lsh(k: int = MINHASH_K_ORACLE, bands: int = LSH_BANDS_ORACLE) -> str:
+    rows_per_band = k // bands
     band_exprs = ", ".join(
         "md5("
         + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
         + ")"
-        for b in range(LSH_BANDS)
+        for b in range(bands)
     )
     return f"""
-WITH sigs AS ({_sql_minhash_inner()}),
+WITH sigs AS ({_sql_minhash_inner(k)}),
 banded AS (
   SELECT doc_id, u.band_id - 1 AS band_id, u.band_hash
   FROM sigs, LATERAL (
@@ -202,13 +221,29 @@ SQL_LSH = _sql_lsh()
 # n-gram Jaccard near-dup scores
 # --------------------------------------------------------------------------
 
-def q_dedup_ngram_jaccard(spark, sf):
+def q_dedup_ngram_jaccard(spark, sf, max_df: int = JACCARD_MAX_DF):
     """Exact Jaccard over 3-gram shingle sets for pairs sharing ≥1 shingle:
     explode → self-join on shingle → pair-intersection counts → |A∪B| from
-    per-doc sizes. Only co-shingled pairs ever shuffle."""
+    per-doc sizes. Only co-shingled pairs ever shuffle.
+
+    Stop-shingle skew guard: shingles whose document frequency exceeds
+    max_df are dropped before the self-join (one extra groupBy). At corpus
+    scale a handful of boilerplate shingles ("the quick brown") would
+    otherwise own the join's hottest reduce keys with O(df²) pair fan-out;
+    capping df bounds any shingle's contribution to max_df². |A| / |B| in
+    the Jaccard denominator are still the UNCAPPED set sizes, so the score
+    only loses intersection mass from boilerplate — mirrored exactly in
+    the oracle's HAVING clause."""
     d = T(spark, sf, "documents")
     ex = exploded_shingles(d)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        ex.groupBy("sh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("sh")
+    )
+    ex = ex.join(rare, "sh", "left_semi")
     sh = ex.join(sizes, "doc_id").select("doc_id", "n_sh", "sh")
     a = sh.alias("a")
     b = sh.alias("b")
@@ -234,8 +269,10 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 SQL_JACCARD = f"""
-WITH ex0 AS ({SQL_EXPLODED_SHINGLES}),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex0 GROUP BY doc_id),
+WITH ex1 AS ({SQL_EXPLODED_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex1 GROUP BY doc_id),
+rare AS (SELECT sh FROM ex1 GROUP BY sh HAVING count(*) <= {JACCARD_MAX_DF}),
+ex0 AS (SELECT ex1.doc_id, ex1.sh FROM ex1 JOIN rare ON ex1.sh = rare.sh),
 ex AS (SELECT ex0.doc_id, n_sh, sh FROM ex0 JOIN sizes ON ex0.doc_id = sizes.doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
@@ -252,82 +289,133 @@ ORDER BY doc_a, doc_b
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash from token md5 nibble parities: bit j of a token is
-    parity(md5(token)[j]); doc bit j set iff sum over tokens of ±1 > 0.
-    Pure relational ops (explode + 16 conditional sums) → SQL-mirrorable."""
+def simhash(
+    docs: DataFrame, text_col: str = "text", blocks: int = SIMHASH_BLOCKS
+) -> DataFrame:
+    """64-bit SimHash as `blocks` × 16-bit block columns (b0..b3): block k
+    bit j of a token is parity(md5('k:'||token)[j]); doc bit set iff the
+    ±1 sum over tokens is > 0. Block columns instead of one packed int64:
+    bit 63 would flip the sign in BOTH engines' BIGINT, and the banded
+    pair join needs the blocks anyway. Pure relational ops (one explode +
+    blocks×16 conditional sums, one shuffle) → SQL-mirrorable."""
     ex = docs.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
-    ex = ex.withColumn("h", F.md5(F.col("tok")))
+    for k in range(blocks):
+        ex = ex.withColumn(f"h{k}", F.md5(F.concat(F.lit(f"{k}:"), F.col("tok"))))
     sums = [
         F.sum(
             F.when(
-                ((F.instr(F.lit(_HEX), F.substring("h", j + 1, 1)) - 1) % 2) == 1, 1
+                ((F.instr(F.lit(_HEX), F.substring(f"h{k}", j + 1, 1)) - 1) % 2) == 1, 1
             ).otherwise(-1)
-        ).alias(f"s{j}")
+        ).alias(f"s{k}_{j}")
+        for k in range(blocks)
         for j in range(SIMHASH_BITS)
     ]
     agg = ex.groupBy("doc_id").agg(*sums)
-    sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+    cols = [F.col("doc_id")]
+    for k in range(blocks):
+        blk = None
+        for j in range(SIMHASH_BITS):
+            bit = F.when(F.col(f"s{k}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            blk = bit if blk is None else blk + bit
+        cols.append(blk.cast("long").alias(f"b{k}"))
+    return agg.select(*cols)
 
 
 def q_dedup_simhash(spark, sf):
     return simhash(T(spark, sf, "documents")).orderBy("doc_id")
 
 
-def _sql_simhash_inner() -> str:
+def _sql_simhash_inner(blocks: int = SIMHASH_BLOCKS) -> str:
     sums = ",\n       ".join(
-        f"sum(CASE WHEN (strpos('{_HEX}', substring(md5(tok), {j + 1}, 1)) - 1) % 2 = 1"
-        f" THEN 1 ELSE -1 END) AS s{j}"
+        f"sum(CASE WHEN (strpos('{_HEX}', substring(md5('{k}:' || tok), {j + 1}, 1)) - 1) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS s{k}_{j}"
+        for k in range(blocks)
         for j in range(SIMHASH_BITS)
     )
-    bits = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    blks = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{k}_{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BITS)
+        )
+        + f" AS BIGINT) AS b{k}"
+        for k in range(blocks)
     )
     return f"""
   WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
   sums AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
-  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+  SELECT doc_id, {blks} FROM sums
 """
 
 
 SQL_SIMHASH = _sql_simhash_inner() + " ORDER BY doc_id"
 
 
-def q_dedup_simhash_pairs(spark, sf):
-    """Near-dup pairs by Hamming distance ≤ 2 on SimHash (bit_count(xor));
-    documents is a fixed 500-row table so the n² compare is the baseline —
-    at corpus scale you'd band the simhash the same way as LSH."""
-    s = simhash(T(spark, sf, "documents"))
-    a = s.alias("a")
-    b = s.alias("b")
+def simhash_near_pairs(
+    sims: DataFrame,
+    blocks: int = SIMHASH_BLOCKS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs by Hamming ≤ max_hamming over the 64-bit simhash —
+    WITHOUT the n² cross join. Pigeonhole banding: two hashes within
+    Hamming ≤ 3 of each other differ in at most 3 of the 4 blocks, so at
+    least one block matches exactly. Explode to (doc_id, block_id,
+    block_val), equi-join on the block, then rescore candidates with the
+    exact popcount. Only block-colliding pairs ever shuffle — the same
+    n²-free shape as MinHash-LSH."""
+    blk_cols = [f"b{k}" for k in range(blocks)]
+    banded = sims.select(
+        "doc_id", *blk_cols, F.posexplode(F.array(*blk_cols)).alias("blk_id", "blk_val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = None
+    for k in range(blocks):
+        x = F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        ham = x if ham is None else ham + x
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        a.join(
+            b,
+            (F.col("a.blk_id") == F.col("b.blk_id"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(F.col("hamming") <= 2)
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("hamming").cast("int").alias("hamming"),
         )
-        .orderBy("doc_a", "doc_b")
+        .distinct()
     )
 
 
-SQL_SIMHASH_PAIRS = f"""
-WITH sims AS ({_sql_simhash_inner()})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+def q_dedup_simhash_pairs(spark, sf):
+    return simhash_near_pairs(simhash(T(spark, sf, "documents"))).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _sql_simhash_pairs(blocks: int = SIMHASH_BLOCKS) -> str:
+    blk_list = ", ".join(f"b{k}" for k in range(blocks))
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(blocks))
+    return f"""
+WITH sims AS ({_sql_simhash_inner(blocks)}),
+banded AS (
+  SELECT doc_id, {blk_list}, u.blk_id - 1 AS blk_id, u.blk_val
+  FROM sims, LATERAL (
+    SELECT generate_subscripts([{blk_list}], 1) AS blk_id,
+           unnest([{blk_list}]) AS blk_val) u)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, ({ham})::INT AS hamming
+FROM banded a JOIN banded b
+  ON a.blk_id = b.blk_id AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+WHERE ({ham}) <= {SIMHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
 """
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 
 
 # --------------------------------------------------------------------------
@@ -407,57 +495,118 @@ def q_similarity_topk(spark, sf):
     )
 
 
-def _bucket_expr(col: str):
-    """Deterministic 3-bit LSH bucket: sign bits of the first 3 components
-    (a fixed hyperplane set — seeded, identical in SQL)."""
-    b = None
-    for i in range(3):
-        bit = F.when(F.element_at(F.col(col), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        b = bit if b is None else b + bit
-    return b.cast("int")
+EMB_DIM = 64  # driver testdata embedding dimensionality (TESTDATA.md)
+
+
+def _hyperplane_signs(table: int, bit: int, dim: int = EMB_DIM) -> list[int]:
+    """Deterministic ±1 random-hyperplane weights, seeded by (table, bit,
+    dim-index) through md5 — reproducible in any engine, embedded as
+    LITERALS on both sides so Spark and the DuckDB oracle use bit-identical
+    hyperplanes."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{table}:{bit}:{d}".encode()).hexdigest()[0], 16) % 2 else -1
+        for d in range(dim)
+    ]
+
+
+def _cos_bucket_col(col: str, table: int, bits: int = LSH_COS_BITS, dim: int = EMB_DIM):
+    """Sign-bit bucket for one hyperplane table: bit j = (w_tj · x ≥ 0).
+    All JVM-side (zip_with + aggregate over a literal weight array)."""
+    out = None
+    for j in range(bits):
+        w = F.array(*[F.lit(float(s)) for s in _hyperplane_signs(table, j, dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(col), w, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def cosine_lsh_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.25,
+    tables: int = LSH_COS_TABLES,
+    bits: int = LSH_COS_BITS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Banded random-hyperplane LSH (the scale path): `tables` independent
+    `bits`-bit signatures; a pair is a candidate iff it collides in ANY
+    table (explode → slim equi-join per table → distinct ids), then exact
+    cosine rescoring joins the embeddings back by id. Bucket-local joins:
+    expected pair count ≈ tables · n²/2^bits (vs n²/8 for the old fixed
+    3-bit variant); embeddings never ride through the pair explosion."""
+    buckets = F.array(*[_cos_bucket_col("embedding", t, bits, dim) for t in range(tables)])
+    banded = vectors.select(
+        "vec_id", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = vectors.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    vb = vectors.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", _cosine("emb_a", "emb_b"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+    )
 
 
 def q_similarity_lsh(spark, sf):
-    """LSH-bucketed cosine (the scale path): vectors meet only within their
-    sign-bit bucket — bucket-local joins instead of the full cross join."""
-    v = T(spark, sf, "embeddings").withColumn("bucket", _bucket_expr("embedding"))
-    a = v.alias("a")
-    b = v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    return (
-        pairs.withColumn(
-            "cos",
-            _cosine("a.embedding", "b.embedding"),
+    return cosine_lsh_pairs(T(spark, sf, "embeddings")).orderBy("vec_a", "vec_b")
+
+
+def _sql_cos_bucket(table: int, bits: int = LSH_COS_BITS, dim: int = EMB_DIM) -> str:
+    terms = []
+    for j in range(bits):
+        w = "[" + ", ".join(str(s) for s in _hyperplane_signs(table, j, dim)) + "]"
+        dot = (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> embedding[i]::DOUBLE * ({w}::DOUBLE[])[i]), 'sum')"
         )
-        .filter(F.col("cos") >= 0.25)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.bucket").alias("bucket"),
-            F.round("cos", 4).alias("cos_sim"),
-        )
-        .orderBy("vec_a", "vec_b")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::INT"
+
+
+def _sql_sim_lsh(tables: int = LSH_COS_TABLES) -> str:
+    bucket_arr = "[" + ", ".join(_sql_cos_bucket(t) for t in range(tables)) + "]"
+    cos = _SQL_COS.replace("a.embedding", "va.embedding").replace(
+        "b.embedding", "vb.embedding"
     )
-
-
-_SQL_BUCKET = (
-    "((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + "
-    "(CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) + "
-    "(CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END))::INT"
-)
-
-SQL_SIM_LSH = f"""
-WITH v AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-       round({_SQL_COS}, 4) AS cos_sim
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_SQL_COS} >= 0.25
+    return f"""
+WITH v AS (SELECT vec_id, embedding, {bucket_arr} AS buckets FROM embeddings),
+banded AS (
+  SELECT vec_id, u.tbl, u.bucket
+  FROM v, LATERAL (SELECT generate_subscripts(buckets, 1) AS tbl,
+                          unnest(buckets) AS bucket) u),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round({cos}, 4) AS cos_sim
+FROM cand JOIN embeddings va ON cand.vec_a = va.vec_id
+          JOIN embeddings vb ON cand.vec_b = vb.vec_id
+WHERE {cos} >= 0.25
 ORDER BY vec_a, vec_b
 """
+
+
+SQL_SIM_LSH = _sql_sim_lsh()
 
 
 # --------------------------------------------------------------------------

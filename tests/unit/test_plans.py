@@ -96,3 +96,24 @@ def test_topk_is_take_ordered(spark):
 
     p = plan_of(q_topk_global(spark, SF))
     assert "TakeOrderedAndProject" in p  # no full global sort for top-k
+
+
+def test_simhash_pairs_banded_equi_join(spark):
+    """64-bit simhash near-pairs must go through the block equi-join
+    (pigeonhole banding), never a cross/nested-loop join (VERDICT r01)."""
+    from gpse.pipeline import q_dedup_simhash_pairs
+
+    p = plan_of(q_dedup_simhash_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_similarity_lsh_banded_equi_join(spark):
+    """Hyperplane-LSH candidates must come from (table, bucket) equi-joins,
+    and the pair explosion must not carry embeddings (slim id join, then
+    rescoring joins by id)."""
+    from gpse.pipeline import q_similarity_lsh
+
+    p = plan_of(q_similarity_lsh(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p

@@ -56,3 +56,60 @@ def test_lsh_pairs_subset_of_bruteforce_threshold(spark):
         a, b = np.asarray(v[r.vec_a], float), np.asarray(v[r.vec_b], float)
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= 0.25 - 1e-6
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    """Recall contract on NEAR-DUP vectors (the case LSH exists for):
+    a vector and its tiny perturbation share all hyperplane signs w.h.p.,
+    so the banded LSH must surface the planted pairs. Random orthogonal-ish
+    vectors legitimately escape (that's the candidate pruning)."""
+    import numpy as np
+
+    from gpse.pipeline import EMB_DIM, cosine_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, EMB_DIM)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + 1e-4 * rng.randn(EMB_DIM)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_a, r.vec_b) for r in cosine_lsh_pairs(vecs, threshold=0.9).collect()}
+    planted = {(i, 100 + i) for i in range(20)}
+    found = len(planted & got) / len(planted)
+    assert found >= 0.9, (found, sorted(planted - got))
+
+
+def test_minhash_production_params(spark):
+    """K=128 / 16-band production parameters on a tiny fixture: identical
+    docs collide in every band; disjoint docs collide in none."""
+    from gpse.pipeline import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, k=128)
+    assert len(sigs.columns) == 129
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs, k=128, bands=16).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_simhash_hamming_zero_for_identical_docs(spark):
+    from gpse.pipeline import simhash_near_pairs, simhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely unrelated tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_pairs(simhash(docs)).collect()
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in pairs} >= {(1, 2, 0)}
+    assert all({r.doc_a, r.doc_b} != {1, 3} for r in pairs)
