@@ -140,7 +140,7 @@ def q_crawl_schedule(spark, sf):
     cfg = synth.CorpusCfg(n_pages=400, n_hosts=25, seed=42)
     f0 = frontier.from_seeds(spark, synth.seed_urls(cfg), n_salts=4)
     policy = robots.build_host_policy(synth.gen_robots(spark, cfg))
-    sched, _, _ = frontier.schedule_batch(f0, policy, batch_size=100, num_partitions=4)
+    sched, _, _, _ = frontier.schedule_batch(f0, policy, batch_size=100, num_partitions=4)
     return sched.select("url", "host", "priority", "depth").orderBy("priority", "url")
 
 

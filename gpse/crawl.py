@@ -51,6 +51,9 @@ class CrawlCfg:
     n_bloom_buckets: int = 32
     bloom_bits: int = 1 << 20   # fixed per-bucket bits → OR-mergeable blobs
     use_bloom: bool = True
+    # blobs beyond this switch from driver-broadcast probing to the
+    # bucket-local cogroup probe (SCALE.md: ~15 GB of blobs at 10^10 URLs)
+    bloom_broadcast_max_bytes: int = 64 << 20
     depth_weight: float = 1.0
     max_depth: int = 100
     corpus_bodies_path: str | None = None  # parquet-backed origin (bench path)
@@ -92,7 +95,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     policy = cat.load(spark, "host_policy")
     seen = cat.load(spark, "seen_exact", round_n)
 
-    sched, denied, deferred0 = frontier_mod.schedule_batch(
+    sched, denied, deferred0, sched_cleanup = frontier_mod.schedule_batch(
         fr, policy, cfg.batch_size, cfg.num_partitions
     )
     if cfg.corpus_bodies_path:
@@ -144,7 +147,9 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     # dedup_new_urls reduces per-URL attributes deterministically (min depth,
     # min src_url_hash) BEFORE the seen anti-join — a url discovered from
     # several sources keeps a partition-layout-independent (depth, src)
-    new_urls = seen_mod.dedup_new_urls(cands, seen, blooms, cfg.n_bloom_buckets)
+    new_urls = seen_mod.dedup_new_urls(
+        cands, seen, blooms, cfg.n_bloom_buckets, cfg.bloom_broadcast_max_bytes
+    )
 
     # carry-over: budget/batch-overflow rows stay queued — re-enqueued for
     # round+1 with priority intact (D2 'budget_deferred'; a priority queue
@@ -191,6 +196,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
             n_new = new_part.count()  # cached by the frontier commit
     finally:
         new_part.unpersist()
+        sched_cleanup()
 
     wall = time.time() - t0
     return {

@@ -84,13 +84,18 @@ def schedule_batch(
     host_policy: DataFrame,
     batch_size: int,
     num_partitions: int = 32,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(scheduled, denied, deferred): the per-round fetch batch, the rows
-    the robots rules denied permanently, and the budget-overflow rows that
-    stay queued for the next round ('budget_deferred'). The three partition
-    the round's queued set, all derived from ONE window pipeline — the
-    deferral complement falls out of the same row_number that enforces the
-    budget, so no re-derivation anti-joins."""
+) -> tuple[DataFrame, DataFrame, DataFrame, "Callable[[], None]"]:
+    """(scheduled, denied, deferred, cleanup): the per-round fetch batch,
+    the rows the robots rules denied permanently, the budget-overflow rows
+    that stay queued for the next round ('budget_deferred'), and a cleanup
+    callable to release the scheduler's cache once the round's commits are
+    done. The three DataFrames partition the round's queued set, all
+    derived from ONE window pipeline — the deferral complement falls out
+    of the same row_number that enforces the budget, so no re-derivation
+    anti-joins. With a batch cap, the post-budget set is persisted
+    (MEMORY_AND_DISK) so the top-k pick and its overflow complement — and
+    the separate actions that commit them — share one computation of the
+    robots+budget pipeline instead of re-running it per consumer."""
     q = frontier.filter(F.col("state") == "queued")
     j = q.join(
         F.broadcast(host_policy.select("host", "disallow", "allow", "crawl_delay_ms", "budget_per_round")),
@@ -136,14 +141,21 @@ def schedule_batch(
     allowed = allowed.withColumn("_rn", F.row_number().over(w))
     ok = allowed.filter(F.col("_rn") <= budget).drop("_rn")
     deferred = allowed.filter(F.col("_rn") > budget).select(*frontier.columns)
+    cleanup = lambda: None  # noqa: E731
     if batch_size is not None:
         # priority-queue pop: global top-k by the total order. Spark's
         # TakeOrderedAndProject is driver-merged — right for k ≪ frontier;
         # for an uncapped round (batch_size=None) the budget window already
         # bounds the batch and the selection is a set, so no global sort.
-        # Rows within budget but beyond the batch cap also defer.
-        capped = ok.orderBy("priority", "url_hash").limit(batch_size)
-        overflow = ok.join(capped.select("url_hash"), "url_hash", "left_anti").select(
+        # Rows within budget but beyond the batch cap also defer. `ok` is
+        # persisted because capped AND overflow both read it, from separate
+        # downstream actions (pages commit vs frontier commit).
+        from pyspark import StorageLevel
+
+        ok_p = ok.persist(StorageLevel.MEMORY_AND_DISK)
+        cleanup = lambda: ok_p.unpersist()  # noqa: E731
+        capped = ok_p.orderBy("priority", "url_hash").limit(batch_size)
+        overflow = ok_p.join(capped.select("url_hash"), "url_hash", "left_anti").select(
             *frontier.columns
         )
         deferred = deferred.unionByName(overflow)
@@ -153,4 +165,4 @@ def schedule_batch(
         .repartition(num_partitions, F.col("host"), F.col("salt"))
         .sortWithinPartitions("host", "priority", "url_hash")
     )
-    return sched, denied, deferred
+    return sched, denied, deferred, cleanup

@@ -124,6 +124,7 @@ def dedup_new_urls(
     seen: DataFrame,
     blooms: DataFrame | None = None,
     n_buckets: int = 32,
+    max_broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Truly-new URLs: candidates ∖ seen_exact (north_star dedup).
 
@@ -135,14 +136,23 @@ def dedup_new_urls(
          keeps an arbitrary partition-layout-dependent row, which would
          leak into priority=depth and break the north_rule's
          partition-count-independent crawl ordering;
-      2. optional bloom pre-filter — the per-bucket blobs travel as a REAL
-         SparkContext broadcast captured in the UDF closure, shipped once
-         per executor. (Never join the blob column onto candidate rows: a
-         1 MiB blob × millions of rows re-materializes per row and pushes
-         terabytes through the shuffle/Arrow boundary — measured fatal at
-         a 2M-URL frontier.) Definitely-new rows skip the anti-join.
+      2. optional bloom pre-filter, two physical strategies switched on
+         total blob size (SCALE.md: at the 10^10-URL design point the
+         blobs total ~15 GB — too big for one broadcast variable):
+           a. blobs ≤ max_broadcast_bytes — collect + SparkContext
+              broadcast captured in the UDF closure, shipped once per
+              executor. (Never join the blob column onto candidate rows:
+              a 1 MiB blob × millions of rows re-materializes per row and
+              pushes terabytes through the shuffle/Arrow boundary —
+              measured fatal at a 2M-URL frontier.)
+           b. blobs > max_broadcast_bytes — BUCKET-LOCAL probe: cogroup
+              candidates with blooms on bucket = pmod(url_hash, P); each
+              task receives one bucket's candidates AND only that
+              bucket's blob. One slim shuffle of candidates, no driver
+              collect, no full-blob-set copy anywhere.
+         Definitely-new rows skip the anti-join either way.
       3. exact left-anti join on url_hash for the maybe-seen remainder —
-         the only shuffle, on the same key seen_exact is sharded by.
+         on the same key seen_exact is sharded by.
     """
     keys = [c for c in ("url_hash", "url") if c in candidates.columns]
     attrs = [c for c in candidates.columns if c not in keys]
@@ -156,6 +166,10 @@ def dedup_new_urls(
         cand = candidates.dropDuplicates(keys)
     if blooms is None:
         return cand.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+    total_bytes = blooms.agg(F.sum(F.length("bits")).alias("b")).collect()[0]["b"] or 0
+    if total_bytes > max_broadcast_bytes:
+        return _dedup_bucket_probe(cand, seen, blooms, n_buckets)
 
     spark = candidates.sparkSession
     blob_map = {
@@ -185,7 +199,51 @@ def dedup_new_urls(
             yield pd.Series(out, dtype=bool)
 
     c = cand.withColumn("_maybe", maybe_seen(F.col("url_hash")))
+    return _split_on_maybe(c, seen)
+
+
+def _split_on_maybe(c: DataFrame, seen: DataFrame) -> DataFrame:
+    """definitely-new ∪ (maybe-seen ∖ seen_exact)."""
     definitely_new = c.filter(~F.col("_maybe")).drop("_maybe")
     maybe = c.filter(F.col("_maybe")).drop("_maybe")
     confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
     return definitely_new.unionByName(confirmed_new)
+
+
+def _dedup_bucket_probe(
+    cand: DataFrame, seen: DataFrame, blooms: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Bucket-local bloom probe (the 10^10-scale path promised in
+    SCALE.md): candidates cogroup with the blob table on the bucket key,
+    so each task probes its bucket's candidates against ONLY that
+    bucket's blob. No driver collect, no broadcast of the full blob set;
+    one shuffle of slim candidate rows keyed the same way the blobs are
+    built (pmod(url_hash, P))."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        list(cand.schema.fields) + [StructField("_maybe", BooleanType())]
+    )
+    cand_cols = list(cand.columns)
+    cand_b = cand.withColumn(
+        "_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+
+    def probe(key, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        out = cdf[cand_cols].copy()
+        keys = cdf["url_hash"].to_numpy(dtype=np.int64)
+        maybe = np.zeros(len(keys), dtype=bool)
+        # several blob rows per bucket can exist mid-merge: a key is
+        # maybe-seen if ANY blob reports it (OR keeps zero false negatives)
+        for _, r in bdf.iterrows():
+            bits = np.frombuffer(r["bits"], dtype=np.uint8)
+            maybe |= _bloom_test(keys, int(r["nbits"]), int(r["nhashes"]), bits)
+        out["_maybe"] = maybe
+        return out
+
+    probed = (
+        cand_b.groupBy("_bucket")
+        .cogroup(blooms.groupBy("bucket"))
+        .applyInPandas(probe, out_schema)
+    )
+    return _split_on_maybe(probed, seen)

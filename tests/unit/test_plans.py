@@ -77,7 +77,7 @@ def test_fetch_from_corpus_no_html_shuffle(spark):
     cfg = synth.CorpusCfg(n_pages=200, n_hosts=10, seed=42)
     pol = robots.build_host_policy(synth.gen_robots(spark, cfg))
     f0 = frontier.from_seeds(spark, synth.seed_urls(cfg), 4)
-    sched, _, _ = frontier.schedule_batch(f0, pol, None, 4)
+    sched, _, _, _ = frontier.schedule_batch(f0, pol, None, 4)
     bodies = synth.gen_pages(spark, cfg, 2).select("url", "warc_ts", "html")
     p = plan_of(fetch_mod.fetch_from_corpus(sched, bodies, 4))
     assert "BroadcastHashJoin" in p
