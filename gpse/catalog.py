@@ -145,3 +145,134 @@ class Catalog:
 
     def snapshots(self, name: str | None = None) -> list[dict]:
         return [s.__dict__ for s in self._read_manifest() if name is None or s.table == name]
+
+
+class IcebergCatalog:
+    """Real Apache Iceberg backend behind the same interface as `Catalog`
+    (commit / load / load_delta / prune / exists / latest_round /
+    snapshots), so the crawl loop swaps storage layers by constructor.
+
+    Requires a Spark session configured with an Iceberg catalog, e.g.::
+
+        spark-submit \\
+          --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \\
+          --conf spark.sql.catalog.gpse=org.apache.iceberg.spark.SparkCatalog \\
+          --conf spark.sql.catalog.gpse.type=hadoop \\
+          --conf spark.sql.catalog.gpse.warehouse=hdfs://…/warehouse
+
+    The sandbox has neither the runtime jar nor network to fetch it
+    (SURVEY.md §0), so this class is exercised only when GPSE_ICEBERG=1
+    (tests/unit/test_catalog.py skips otherwise); the parquet `Catalog`
+    reproduces the same semantics offline.
+
+    Round ↔ snapshot mapping: every commit stamps its Iceberg snapshot
+    with a ``gpse-round`` snapshot property (write option
+    ``snapshot-property.gpse-round``). ``load(round=R)`` resolves the
+    newest snapshot whose property ≤ R from the ``<table>.snapshots``
+    metadata table and time-travels with ``snapshot-id``; ``load_delta``
+    is Iceberg's incremental read between a snapshot and its parent;
+    ``prune`` is ``rollback_to_snapshot``.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str = "gpse", namespace: str = "crawl") -> None:
+        self.spark = spark
+        self.cat = catalog
+        self.ns = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.cat}.{self.ns}.{name}"
+
+    def _snaps(self, name: str) -> list[dict]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, parent_id, committed_at, "
+            f"summary['gpse-round'] AS r FROM {self._tbl(name)}.snapshots "
+            f"ORDER BY committed_at"
+        ).collect()
+        return [
+            {
+                "table": name,
+                "round": int(x.r) if x.r is not None else -1,
+                "snapshot_id": str(x.snapshot_id),
+                "parent_id": None if x.parent_id is None else str(x.parent_id),
+                "committed_ts": x.committed_at.timestamp(),
+            }
+            for x in rows
+        ]
+
+    # ---- public API (mirrors Catalog) ---------------------------------
+    def commit(self, name: str, df: DataFrame, round: int, mode: str = "overwrite") -> str:
+        t = self._tbl(name)
+        w = df.writeTo(t).option("snapshot-property.gpse-round", str(round))
+        if not self.spark.catalog.tableExists(t):
+            w.using("iceberg").create()
+        elif mode == "overwrite":
+            w.replace()
+        else:
+            w.append()
+        return self._snaps(name)[-1]["snapshot_id"]
+
+    def load(self, spark: SparkSession, name: str, round: int | None = None) -> DataFrame:
+        t = self._tbl(name)
+        if not spark.catalog.tableExists(t):
+            raise KeyError(f"no snapshot for table {name!r}")
+        if round is None:
+            return spark.read.table(t)
+        cand = [s for s in self._snaps(name) if s["round"] <= round]
+        if not cand:
+            raise KeyError(f"no snapshot for table {name!r} at round {round!r}")
+        return spark.read.option("snapshot-id", cand[-1]["snapshot_id"]).table(t)
+
+    def load_delta(self, spark: SparkSession, name: str, round: int) -> DataFrame:
+        cand = [s for s in self._snaps(name) if s["round"] == round]
+        if not cand:
+            raise KeyError(f"no delta commit for table {name!r} at round {round}")
+        s = cand[-1]
+        r = spark.read.format("iceberg").option("end-snapshot-id", s["snapshot_id"])
+        if s["parent_id"] is not None:
+            r = r.option("start-snapshot-id", s["parent_id"])  # exclusive
+        return r.load(self._tbl(name))
+
+    def prune(self, keep) -> int:
+        """Roll every table back to its newest snapshot satisfying
+        ``keep({table, round})`` (crash-recovery rollback, like
+        Catalog.prune). Tables whose snapshots are all dropped are
+        deleted."""
+        from types import SimpleNamespace
+
+        dropped = 0
+        tables = [
+            r.tableName
+            for r in self.spark.sql(f"SHOW TABLES IN {self.cat}.{self.ns}").collect()
+        ]
+        for name in tables:
+            snaps = self._snaps(name)
+            kept = [s for s in snaps if keep(SimpleNamespace(table=name, round=s["round"]))]
+            dropped += len(snaps) - len(kept)
+            if len(kept) == len(snaps):
+                continue
+            if not kept:
+                self.spark.sql(f"DROP TABLE {self._tbl(name)}")
+            else:
+                self.spark.sql(
+                    f"CALL {self.cat}.system.rollback_to_snapshot"
+                    f"('{self.ns}.{name}', {kept[-1]['snapshot_id']})"
+                )
+        return dropped
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._tbl(name))
+
+    def latest_round(self, name: str) -> int | None:
+        if not self.exists(name):
+            return None
+        s = self._snaps(name)
+        return s[-1]["round"] if s else None
+
+    def snapshots(self, name: str | None = None) -> list[dict]:
+        if name is not None:
+            return self._snaps(name)
+        out: list[dict] = []
+        for r in self.spark.sql(f"SHOW TABLES IN {self.cat}.{self.ns}").collect():
+            out.extend(self._snaps(r.tableName))
+        return out

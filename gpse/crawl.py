@@ -57,6 +57,9 @@ class CrawlCfg:
     depth_weight: float = 1.0
     max_depth: int = 100
     corpus_bodies_path: str | None = None  # parquet-backed origin (bench path)
+    # None = auto-detect; True when the origin is known single-capture
+    # (skips the max-ts selection and its detection job entirely)
+    corpus_unique_captures: bool | None = None
 
 
 def init_crawl(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, seeds=None, seed_df=None) -> None:
@@ -98,9 +101,17 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     sched, denied, deferred0, sched_cleanup = frontier_mod.schedule_batch(
         fr, policy, cfg.batch_size, cfg.num_partitions
     )
+    # The slim scheduled batch feeds several consumers (fetch's broadcast
+    # sides, the tie probe, metrics) that would each re-run the whole
+    # robots+budget window pipeline — persist it once for the round.
+    from pyspark import StorageLevel
+
+    sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
     if cfg.corpus_bodies_path:
         bodies = spark.read.parquet(cfg.corpus_bodies_path)
-        fetched = fetch_mod.fetch_from_corpus(sched, bodies, cfg.num_partitions)
+        fetched = fetch_mod.fetch_from_corpus(
+            sched, bodies, cfg.num_partitions, cfg.corpus_unique_captures
+        )
     else:
         fetched = fetch_mod.fetch(sched, cfg.corpus)
     parsed = parse_extract(fetched)
@@ -148,7 +159,9 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     # min src_url_hash) BEFORE the seen anti-join — a url discovered from
     # several sources keeps a partition-layout-independent (depth, src)
     new_urls = seen_mod.dedup_new_urls(
-        cands, seen, blooms, cfg.n_bloom_buckets, cfg.bloom_broadcast_max_bytes
+        cands, seen, blooms, cfg.n_bloom_buckets, cfg.bloom_broadcast_max_bytes,
+        # fixed-nbits blobs → statically known size, no measuring job
+        blob_bytes_hint=cfg.n_bloom_buckets * (cfg.bloom_bits // 8),
     )
 
     # carry-over: budget/batch-overflow rows stay queued — re-enqueued for
@@ -185,17 +198,23 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
                     mode="overwrite",
                 )
 
-        mrows = metrics_mod.round_metrics(pl, round_n)
+        # per-partition metrics are ≤ num_partitions rows: aggregate once,
+        # collect, commit the local rows (a trivial write) and sum in the
+        # driver — no second scan of the metrics table
+        mlocal = metrics_mod.round_metrics(pl, round_n).collect()
         with _t("metrics commit"):
-            cat.commit("metrics", mrows, round_n, mode="append")
-        mstats = cat.load_delta(spark, "metrics", round_n).agg(
-            F.sum("n_fetched").alias("nf")
-        ).collect()[0]
-        n_fetched = mstats["nf"] or 0
+            cat.commit(
+                "metrics",
+                spark.createDataFrame(mlocal, metrics_mod.METRICS_SCHEMA),
+                round_n,
+                mode="append",
+            )
+        n_fetched = sum(r["n_fetched"] for r in mlocal)
         with _t("n_new count"):
             n_new = new_part.count()  # cached by the frontier commit
     finally:
         new_part.unpersist()
+        sched.unpersist()
         sched_cleanup()
 
     wall = time.time() - t0

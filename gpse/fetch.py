@@ -105,6 +105,7 @@ def fetch_from_corpus(
     scheduled: DataFrame,
     corpus_bodies: DataFrame,
     num_partitions: int = 32,
+    unique_captures: bool | None = None,
 ) -> DataFrame:
     """Fetch with a parquet-backed origin (the bench/replay path).
 
@@ -119,6 +120,19 @@ def fetch_from_corpus(
          preserved side);
       3. 404s (scheduled ∖ origin) recovered by an anti-join that reads
          only the origin's pruned `url` column.
+
+    Multi-capture corpora (re-crawls) serve the LATEST capture — the as-of
+    pattern (SURVEY.md §2.3) via a broadcast max-key join — with
+    determinism at timestamp ties: the max key includes xxhash64(html) so
+    ties resolve by content, never by partition layout
+    (`_fetch_resolve_ties`). `unique_captures` short-circuits all of that:
+    True (the caller KNOWS each url has one capture — e.g. the bench
+    origin, or a WARC-deduped snapshot) keeps the hot path a single
+    broadcast join with zero extra jobs; None auto-detects with one
+    column-pruned scan of the origin's url column; False forces the
+    max-key path. Every driver-side broadcast build is serial time —
+    Amdahl-visible at high parallelism — so the hot path builds exactly
+    ONE broadcast (the scheduled batch).
 
     The real-HTTP path (`fetch`) keeps per-host pacing inside mapInPandas
     batches per the north_star; this path exists because at bench scale
@@ -135,42 +149,42 @@ def fetch_from_corpus(
         ((F.row_number().over(w) - 1) * F.coalesce(F.col("crawl_delay_ms"), F.lit(0))).cast("long"),
     ).select("url", "url_hash", "host", "depth", "src_url_hash", "sched_offset_ms")
 
-    # A URL can have several captures (re-crawls): serve the latest — the
-    # as-of pattern (SURVEY.md §2.3). Done WITHOUT shuffling html: the
-    # max (warc_ts, content-hash) key per scheduled url is computed on a
-    # slim scan and broadcast back; the html-bearing scan joins broadcasts
-    # and never moves. The content hash is in the key so two captures
-    # sharing a warc_ts resolve DETERMINISTICALLY (max hash wins), not by
-    # partition layout.
-    ok0 = corpus_bodies.select(
-        "url", "warc_ts", "html", F.xxhash64("html").alias("_hh")
-    ).join(F.broadcast(s), "url", "inner")
-    maxkey = (
-        corpus_bodies.select("url", "warc_ts", F.xxhash64("html").alias("_hh"))
-        .join(F.broadcast(s.select("url")), "url", "inner")
-        .groupBy("url")
-        .agg(F.max(F.struct("warc_ts", "_hh")).alias("_k"))
-        .select("url", F.col("_k.warc_ts").alias("warc_ts"), F.col("_k._hh").alias("_hh"))
-    )
-    ok = ok0.join(F.broadcast(maxkey), ["url", "warc_ts", "_hh"], "inner")
-    # Byte-identical duplicate captures (same url, warc_ts AND bytes) would
-    # still match the max key twice. Split them out lazily: urls whose max
-    # key occurs once (all of them, in practice) pass through untouched —
-    # zero html shuffle; the rare duplicated remainder is collapsed with a
-    # dropDuplicates whose surviving values are identical by construction.
-    dupkeys = (
-        corpus_bodies.select("url", "warc_ts", F.xxhash64("html").alias("_hh"))
-        .join(F.broadcast(maxkey), ["url", "warc_ts", "_hh"], "left_semi")
-        .groupBy("url", "warc_ts", "_hh")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > 1)
-        .drop("_n")
-    )
-    clean = ok.join(F.broadcast(dupkeys), ["url", "warc_ts", "_hh"], "left_anti")
-    dupped = ok.join(
-        F.broadcast(dupkeys), ["url", "warc_ts", "_hh"], "left_semi"
-    ).dropDuplicates(["url"])
-    ok = clean.unionByName(dupped).drop("_hh")
+    if unique_captures is None:
+        # one slim job over the origin's pruned url column, independent of
+        # the scheduling subtree
+        mx = (
+            corpus_bodies.groupBy("url")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        unique_captures = mx is None or int(mx) <= 1
+
+    if unique_captures:
+        ok = corpus_bodies.select("url", "warc_ts", "html").join(
+            F.broadcast(s), "url", "inner"
+        )
+    else:
+        # multi-capture: latest wins. Timestamp ties are detected on a
+        # column-pruned (url, warc_ts) scan restricted to the batch — only
+        # if any exist does the plan pay the content-hash tiebreak's extra
+        # html-hashing IO.
+        maxk = (
+            corpus_bodies.select("url", "warc_ts")
+            .join(F.broadcast(s.select("url")), "url", "inner")
+            .groupBy("url", "warc_ts")
+            .agg(F.count("*").alias("_n"))
+            .groupBy("url")
+            .agg(F.max(F.struct("warc_ts", "_n")).alias("_k"))
+            .select("url", F.col("_k.warc_ts").alias("warc_ts"), F.col("_k._n").alias("_n"))
+        )
+        has_ties = bool(maxk.filter(F.col("_n") > 1).limit(1).count())
+        if not has_ties:
+            ok = corpus_bodies.select("url", "warc_ts", "html").join(
+                F.broadcast(s), "url", "inner"
+            ).join(F.broadcast(maxk.drop("_n")), ["url", "warc_ts"], "inner")
+        else:
+            ok = _fetch_resolve_ties(corpus_bodies, s)
     ok = ok.select(
         "url", "url_hash", "host", "depth", "src_url_hash",
         F.spark_partition_id().alias("partition_id"),
@@ -190,3 +204,35 @@ def fetch_from_corpus(
         F.lit(0).cast("long").alias("bytes"),
     )
     return ok.unionByName(miss)
+
+
+def _fetch_resolve_ties(corpus_bodies: DataFrame, s: DataFrame) -> DataFrame:
+    """Tie-resolving fetch join (rare path): the max key per url is
+    (warc_ts, xxhash64(html)) so same-timestamp captures pick the max
+    content hash deterministically; byte-identical duplicate captures
+    (same url, warc_ts AND bytes) are collapsed by a dropDuplicates that
+    only ever shuffles the few key-duplicated rows."""
+    ok0 = corpus_bodies.select(
+        "url", "warc_ts", "html", F.xxhash64("html").alias("_hh")
+    ).join(F.broadcast(s), "url", "inner")
+    maxkey = (
+        corpus_bodies.select("url", "warc_ts", F.xxhash64("html").alias("_hh"))
+        .join(F.broadcast(s.select("url")), "url", "inner")
+        .groupBy("url")
+        .agg(F.max(F.struct("warc_ts", "_hh")).alias("_k"))
+        .select("url", F.col("_k.warc_ts").alias("warc_ts"), F.col("_k._hh").alias("_hh"))
+    )
+    ok = ok0.join(F.broadcast(maxkey), ["url", "warc_ts", "_hh"], "inner")
+    dupkeys = (
+        corpus_bodies.select("url", "warc_ts", F.xxhash64("html").alias("_hh"))
+        .join(F.broadcast(maxkey), ["url", "warc_ts", "_hh"], "left_semi")
+        .groupBy("url", "warc_ts", "_hh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
+    clean = ok.join(F.broadcast(dupkeys), ["url", "warc_ts", "_hh"], "left_anti")
+    dupped = ok.join(
+        F.broadcast(dupkeys), ["url", "warc_ts", "_hh"], "left_semi"
+    ).dropDuplicates(["url"])
+    return clean.unionByName(dupped).drop("_hh")

@@ -125,6 +125,7 @@ def dedup_new_urls(
     blooms: DataFrame | None = None,
     n_buckets: int = 32,
     max_broadcast_bytes: int = 64 << 20,
+    blob_bytes_hint: int | None = None,
 ) -> DataFrame:
     """Truly-new URLs: candidates ∖ seen_exact (north_star dedup).
 
@@ -167,7 +168,15 @@ def dedup_new_urls(
     if blooms is None:
         return cand.join(seen.select("url_hash"), "url_hash", "left_anti")
 
-    total_bytes = blooms.agg(F.sum(F.length("bits")).alias("b")).collect()[0]["b"] or 0
+    # Fixed-nbits blobs have a statically known total (buckets × nbits/8):
+    # the caller passes it as a hint so path selection costs ZERO Spark
+    # jobs. Only variable-size blob sets pay the measuring aggregate.
+    if blob_bytes_hint is not None:
+        total_bytes = blob_bytes_hint
+    else:
+        total_bytes = (
+            blooms.agg(F.sum(F.length("bits")).alias("b")).collect()[0]["b"] or 0
+        )
     if total_bytes > max_broadcast_bytes:
         return _dedup_bucket_probe(cand, seen, blooms, n_buckets)
 

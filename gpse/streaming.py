@@ -39,6 +39,23 @@ def hourly_fetch_metrics(pages: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def rolling_fetch_rate(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "1 minute",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING event-time window (§2.9 'rolling fetch-rate'): overlapping
+    10-minute windows advancing every minute, so each capture lands in 10
+    windows. The streaming form of the batch `sliding_window` query."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_fetches"), F.sum(F.length("html")).alias("bytes_in"))
+        .select(F.col("w.start").alias("win_start"), "n_fetches", "bytes_in")
+    )
+
+
 def host_fetch_sessions(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-host session windows split by idle gaps (politeness analysis)."""
     host = F.lower(F.parse_url("url", F.lit("HOST")))

@@ -69,3 +69,35 @@ def test_commit_after_prune_never_reuses_orphan_dirs(spark, tmp_path):
     # must skip past it instead of failing errorifexists
     cat.commit("t", spark.range(3), 1, mode="append")
     assert cat.load(spark, "t").count() == 8
+
+
+# ---- real-Iceberg backend (jar-gated; same interface contract) ----------
+
+import os
+
+needs_iceberg = pytest.mark.skipif(
+    not os.environ.get("GPSE_ICEBERG"),
+    reason="requires iceberg-spark-runtime jar on the session classpath "
+    "(no jar / no network in this sandbox; set GPSE_ICEBERG=1 on a cluster)",
+)
+
+
+@needs_iceberg
+def test_iceberg_catalog_roundtrip_timetravel_prune(spark, tmp_path):
+    """The IcebergCatalog must satisfy the exact contract test_catalog pins
+    for the parquet Catalog: commit/load roundtrip, append accumulation,
+    round time-travel, and prune-as-rollback."""
+    from gpse.catalog import IcebergCatalog
+
+    spark.conf.set("spark.sql.catalog.gpse", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.gpse.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.gpse.warehouse", str(tmp_path))
+    cat = IcebergCatalog(spark)
+    cat.commit("t", spark.range(5), 0, mode="append")
+    cat.commit("t", spark.range(7), 1, mode="append")
+    assert cat.load(spark, "t").count() == 12
+    assert cat.load(spark, "t", round=0).count() == 5
+    assert cat.load_delta(spark, "t", 1).count() == 7
+    assert cat.latest_round("t") == 1
+    assert cat.prune(lambda s: s.round <= 0) == 1
+    assert cat.load(spark, "t").count() == 5

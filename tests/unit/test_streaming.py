@@ -70,3 +70,21 @@ def test_host_token_bucket_state_across_microbatches(spark, tmp_path):
     assert all(v <= 5 for v in per_host.values()), per_host
     # the cap binds for the zipf-head host (more than 5 pages arrived)
     assert max(per_host.values()) == 5
+
+
+def test_rolling_fetch_rate_stream_matches_batch(spark, pages_dir):
+    """Sliding window (10 min / 1 min slide): streaming result must equal
+    the same sliding window computed in batch over the same files."""
+    stream = S.read_pages_stream(spark, pages_dir)
+    got = S.run_available_now(S.rolling_fetch_rate(stream), "t_roll", mode="complete")
+    batch = (
+        spark.read.parquet(pages_dir)
+        .groupBy(F.window("warc_ts", "10 minutes", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n_fetches"), F.sum(F.length("html")).alias("bytes_in"))
+        .select(F.col("w.start").alias("win_start"), "n_fetches", "bytes_in")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    # every capture contributes to exactly 10 overlapping windows
+    n_pages = spark.read.parquet(pages_dir).count()
+    assert sum(r.n_fetches for r in got) == 10 * n_pages
