@@ -49,25 +49,14 @@ def _dirty_urls(spark, sf):
 def q_url_canonicalize(spark, sf):
     """Full canonicalization pipeline (scheme/host lowercase, default-port
     strip, dot-segment removal, query sort, fragment strip) — the
-    north_star's URL-normalization op list, value-checked against SQL."""
-    return (
-        _dirty_urls(spark, sf)
-        .select("doc_id", canonicalize_udf(F.col("dirty_url")).alias("url"))
-        .orderBy("doc_id")
-    )
-
-
-SQL_URL_CANON = """
-SELECT doc_id,
-       'http://h' || (doc_id % 7) || '.example/p/' || doc_id || '?a=1&b=2' AS url
-FROM documents ORDER BY doc_id
-"""
-
-
-def q_url_dedup(spark, sf):
-    """3 dirty spellings per URL → canonical distinct count == one per doc
-    (the seen-set dedup semantics on canonical strings)."""
+    north_star's URL-normalization op list — PLUS the canonical-dedup
+    semantics in the same result: 3 dirty spellings per URL collapse to
+    one distinct canonical string (the seen-set dedup invariant), reported
+    as constant columns via a cross join. Value-checked against SQL."""
     d = _queries.T(spark, sf, "documents")
+    canon = _dirty_urls(spark, sf).select(
+        "doc_id", canonicalize_udf(F.col("dirty_url")).alias("url")
+    )
     variants = d.select(
         F.explode(
             F.array(
@@ -81,20 +70,24 @@ def q_url_dedup(spark, sf):
             )
         ).alias("raw_url")
     )
-    canon = variants.select(canonicalize_udf(F.col("raw_url")).alias("url"))
-    return canon.agg(
+    dedup = variants.select(canonicalize_udf(F.col("raw_url")).alias("u")).agg(
         F.count("*").alias("n_variants"),
-        F.countDistinct("url").alias("n_distinct"),
+        F.countDistinct("u").alias("n_distinct"),
     )
+    return canon.crossJoin(F.broadcast(dedup)).orderBy("doc_id")
 
 
-SQL_URL_DEDUP = """
+SQL_URL_CANON = """
 WITH v AS (
   SELECT unnest(['http://h1.example/p/' || doc_id,
                  'http://h1.example/p/' || doc_id,
-                 'http://h1.example/p/' || doc_id]) AS url
-  FROM documents)
-SELECT count(*) AS n_variants, count(DISTINCT url) AS n_distinct FROM v
+                 'http://h1.example/p/' || doc_id]) AS u
+  FROM documents),
+agg AS (SELECT count(*) AS n_variants, count(DISTINCT u) AS n_distinct FROM v)
+SELECT doc_id,
+       'http://h' || (doc_id % 7) || '.example/p/' || doc_id || '?a=1&b=2' AS url,
+       n_variants, n_distinct
+FROM documents, agg ORDER BY doc_id
 """
 
 
@@ -223,40 +216,36 @@ FROM documents ORDER BY asset_id
 """
 
 
-def q_extract_links_udtf(spark, sf):
-    """Link extraction as a Python UDTF (LATERAL table function) over the
-    synthetic corpus — rows-only (engine-side corpus, no DuckDB view)."""
+def q_extract_text(spark, sf):
+    """Vectorized HTML→text/links extraction (iterator pandas UDF; the
+    byte-identical invariant path, golden-pinned in tests) JOINED with the
+    Python-UDTF link extractor's per-url counts (LATERAL table function) —
+    one rows-only query exercising BOTH extraction surfaces, and the
+    n_links == n_links_udtf equality doubles as a cross-check between
+    them."""
     from gpse import synth
-    from gpse.extract import make_links_udtf
+    from gpse.extract import make_links_udtf, parse_extract
 
     spark.udtf.register("gpse_extract_links", make_links_udtf())
-    cfg = synth.CorpusCfg(n_pages=100, n_hosts=10, seed=42)
-    synth.gen_pages(spark, cfg, partitions=2).createOrReplaceTempView("_udtf_pages")
-    return spark.sql(
-        """
-        SELECT p.url, f.pos, f.link
-        FROM _udtf_pages p, LATERAL gpse_extract_links(p.url, p.html) f
-        ORDER BY p.url, f.pos
-        """
-    )
-
-
-def q_extract_text(spark, sf):
-    """Vectorized HTML→text/links extraction over the synthetic corpus
-    (the byte-identical invariant path; golden-pinned in tests)."""
-    from gpse import synth
-    from gpse.extract import parse_extract
-
     cfg = synth.CorpusCfg(n_pages=200, n_hosts=20, seed=42)
     pages = synth.gen_pages(spark, cfg, partitions=4).drop("text")
+    parsed = parse_extract(pages).select(
+        "url",
+        F.length("text").alias("text_len"),
+        F.size("links").alias("n_links"),
+        textfuncs.fingerprint(F.col("text")).alias("text_fp"),
+    )
+    pages.createOrReplaceTempView("_udtf_pages")
+    udtf_counts = spark.sql(
+        """
+        SELECT p.url, count(f.link) AS n_links_udtf
+        FROM _udtf_pages p, LATERAL gpse_extract_links(p.url, p.html) f
+        GROUP BY p.url
+        """
+    )
     return (
-        parse_extract(pages)
-        .select(
-            "url",
-            F.length("text").alias("text_len"),
-            F.size("links").alias("n_links"),
-            textfuncs.fingerprint(F.col("text")).alias("text_fp"),
-        )
+        parsed.join(udtf_counts, "url", "left")
+        .fillna({"n_links_udtf": 0})
         .orderBy("url")
     )
 
@@ -292,7 +281,6 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
         **_queries.QUERIES,
         **_pipeline.QUERIES,
         "url_canonicalize": (q_url_canonicalize, SQL_URL_CANON),
-        "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
         "host_extract": (q_host_extract, SQL_HOST_EXTRACT),
         "crawl_schedule": (q_crawl_schedule, None),
         "crawl_round": (q_crawl_round, None),
@@ -300,7 +288,6 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         "multimodal_features": (q_multimodal_features, None),
         "multimodal_bytes_arrow": (q_multimodal_bytes_arrow, SQL_MULTIMODAL_BYTES),
-        "extract_links_udtf": (q_extract_links_udtf, None),
     }
     return reg
 
@@ -314,28 +301,29 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
 # but gets no driver row — only rows-only, pytest-covered entries sit
 # there. The assertion keeps this list in lockstep with the modules.
 _PRIORITY = [
-    # north-star URL ops (oracle-backed)
-    "url_canonicalize", "url_dedup", "host_extract",
+    # north-star URL ops (oracle-backed; url_canonicalize also carries the
+    # canonical-dedup invariant columns)
+    "url_canonicalize", "host_extract",
     # training-data pipeline ops (oracle-backed)
     "dedup_exact", "minhash_signatures", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "similarity_bruteforce", "similarity_lsh",
+    "similarity_bruteforce", "similarity_lsh", "corpus_clean",
     "tokens_fingerprints", "lang_id", "quality_scores",
     "multimodal_meta", "multimodal_bytes_arrow",
-    # relational / window / streaming-semantics core (oracle-backed)
+    # relational / window / streaming-semantics / iterative core
     "pricing_summary", "filter_project", "join_agg", "broadcast_chain",
     "semi_join", "anti_join", "nonequi_join", "range_join",
     "window_topk_per_group", "window_funcs", "asof_latest",
-    "grouping_analytics", "minby_maxby", "mode_agg", "topk_global", "setops",
+    "grouping_analytics", "extreme_aggs", "topk_global", "setops",
     "string_funcs", "date_funcs", "math_funcs", "stats_funcs",
-    "hour_window", "sliding_window", "session_window",
+    "link_pagerank",
+    "event_windows", "session_window",
     "json_funcs", "collection_funcs", "conditional", "correlated_scalar",
     # Python-UDF surfaces (oracle-backed)
     "group_sample", "cogroup_lang_stats",
     # rows-only (no SQL oracle possible), most important first
-    "crawl_round", "crawl_schedule", "extract_text", "similarity_ivf",
-    "approx_sketches", "similarity_topk", "extract_links_udtf",
-    "multimodal_features",
+    "crawl_round", "crawl_schedule", "extract_text", "similarity_ann",
+    "approx_sketches", "multimodal_features",
 ]
 
 

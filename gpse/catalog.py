@@ -136,6 +136,46 @@ class Catalog:
             self._write_manifest(kept)
         return len(snaps) - len(kept)
 
+    def compact(self, spark: SparkSession, name: str, target_partitions: int | None = None) -> str:
+        """Rewrite the table's CURRENT file set as one snapshot (Iceberg's
+        rewrite_data_files). Append-mode tables accumulate one directory
+        per round — at 10^10 scale that is the classic small-file problem:
+        every reader pays a footer read per file and partition planning
+        degrades. Compaction folds the chain into a single dir; the round
+        number and time-travel to PRIOR snapshots are preserved (their
+        dirs are still referenced by the older manifest entries until
+        expire_snapshots)."""
+        snaps = self._read_manifest()
+        cur = self._latest(snaps, name, None)
+        if cur is None:
+            raise KeyError(f"no snapshot for table {name!r}")
+        df = spark.read.parquet(*cur.dirs)
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        return self.commit(name, df, cur.round, mode="overwrite")
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
+        """Drop all but the last `keep_last` manifest snapshots of `name`
+        and DELETE data dirs no longer referenced by any kept snapshot of
+        any table (Iceberg's expire_snapshots: bounds storage growth after
+        compaction). Returns the number of directories removed."""
+        import shutil
+
+        snaps = self._read_manifest()
+        mine = [s for s in snaps if s.table == name]
+        drop = mine[:-keep_last] if keep_last > 0 else mine
+        dropped_ids = {s.snapshot_id for s in drop}
+        kept = [s for s in snaps if s.snapshot_id not in dropped_ids]
+        referenced = {d for s in kept for d in s.dirs}
+        to_delete = [
+            d for s in drop for d in s.dirs
+            if d not in referenced and os.path.isdir(d)
+        ]
+        self._write_manifest(kept)  # atomic: readers never see a half-expire
+        for d in sorted(set(to_delete)):
+            shutil.rmtree(d, ignore_errors=True)
+        return len(set(to_delete))
+
     def exists(self, name: str) -> bool:
         return self._latest(self._read_manifest(), name, None) is not None
 

@@ -718,7 +718,6 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "similarity_bruteforce": (q_similarity_bruteforce, SQL_SIM_BRUTE),
-    "similarity_topk": (q_similarity_topk, None),
     "similarity_lsh": (q_similarity_lsh, SQL_SIM_LSH),
     "tokens_fingerprints": (q_tokens_fingerprints, SQL_TOKENS_FP),
     "lang_id": (q_lang_id, SQL_LANG_ID),
@@ -876,4 +875,97 @@ def q_similarity_ivf(spark, sf):
     )
 
 
-QUERIES.update({"similarity_ivf": (q_similarity_ivf, None)})
+# --------------------------------------------------------------------------
+# end-to-end corpus cleaning (the composition a training pipeline runs)
+# --------------------------------------------------------------------------
+
+def q_corpus_clean(spark, sf):
+    """CCNet-style corpus cleaning as ONE declarative plan: exact dedup
+    (md5 fingerprint, keep min doc_id) -> language-ID filter (!= 'und') ->
+    quality floor -> token-count band. Composes the building blocks this
+    module value-checks individually; the oracle mirrors the WHOLE
+    composition, so the interaction of the stages is itself verified. At
+    corpus scale this is one fingerprint window + per-row JVM expressions
+    - no extra shuffles beyond the dedup groupBy."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents")
+    x = d.select(
+        "doc_id",
+        textfuncs.fingerprint(F.col("text")).alias("fp"),
+        textfuncs.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(textfuncs.quality_score(F.col("text")), 5).alias("quality"),
+        textfuncs.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp")
+    x = x.withColumn("_keep", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("_keep")
+    )
+    return (
+        x.filter(
+            (F.col("lang_pred") != "und")
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tokens").between(10, 10000)
+        )
+        .select("doc_id", "lang_pred", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_QUALITY_EXPR = (
+    "round((least(length(text) / 200.0, 1.0)"
+    " + least(len(toks) / 40.0, 1.0)"
+    " + greatest(0.0, 1.0 - (length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g'))::DOUBLE"
+    "                        / greatest(length(text), 1)) * 4)) / 3.0, 5)"
+)
+
+SQL_CORPUS_CLEAN = f"""
+WITH t AS (
+  SELECT doc_id, text, md5(text) AS fp,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, fp, len(toks) AS n_tokens,
+         {_SQL_QUALITY_EXPR} AS quality,
+         {_sql_ratio('en')} AS s_en, {_sql_ratio('de')} AS s_de,
+         {_sql_ratio('fr')} AS s_fr, {_sql_ratio('pl')} AS s_pl,
+         {_sql_ratio('es')} AS s_es,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM t),
+labeled AS (
+  SELECT doc_id, fp, n_tokens, quality, keep_id,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_pl, s_es) <= 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_pl AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_pl AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_pl AND s_fr >= s_es THEN 'fr'
+              WHEN s_pl >= s_es THEN 'pl'
+              ELSE 'es' END AS lang_pred
+  FROM s)
+SELECT doc_id, lang_pred, n_tokens, quality FROM labeled
+WHERE doc_id = keep_id AND lang_pred != 'und' AND quality >= 0.5
+  AND n_tokens BETWEEN 10 AND 10000
+ORDER BY doc_id
+"""
+
+
+def q_similarity_ann(spark, sf):
+    """ANN top-k, both strategies in one tagged result (rows-only: float
+    rank ties are engine-unstable and k-means is not SQL-expressible):
+    'brute' = exact top-3 per query via broadcast + window (the baseline);
+    'ivf' = coarse-k-means cells with nprobe probing (the scale path).
+    Recall of ivf vs brute is pinned by tests/unit/test_similarity.py."""
+    brute = q_similarity_topk(spark, sf).select(
+        F.lit("brute").alias("method"), "query_id", "rank", "vec_id", "cos_sim"
+    )
+    ivf = q_similarity_ivf(spark, sf).select(
+        F.lit("ivf").alias("method"), "query_id", "rank", "vec_id", "cos_sim"
+    )
+    return brute.unionByName(ivf).orderBy("method", "query_id", "rank")
+
+
+QUERIES.update(
+    {
+        "similarity_ann": (q_similarity_ann, None),
+        "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
+    }
+)

@@ -327,22 +327,55 @@ ORDER BY src, gid, k1, k2
 """
 
 
-def q_minby_maxby(spark, sf):
+def q_extreme_aggs(spark, sf):
+    """min_by / max_by (supplier) AND deterministic mode (documents) in one
+    tagged union (§2.4). Built-in mode() breaks ties engine-specifically,
+    so the mode tiebreak is explicit: highest count, then smallest lang."""
     s = T(spark, sf, "supplier")
-    return (
+    minmax = (
         s.groupBy("s_nationkey")
         .agg(
-            F.max_by("s_name", "s_acctbal").alias("richest"),
-            F.min_by("s_name", "s_acctbal").alias("poorest"),
+            F.max_by("s_name", "s_acctbal").alias("v1"),
+            F.min_by("s_name", "s_acctbal").alias("v2"),
         )
-        .orderBy("s_nationkey")
+        .select(
+            F.lit("minmax").alias("src"),
+            F.col("s_nationkey").cast("string").alias("k"),
+            "v1",
+            "v2",
+        )
     )
+    d = T(spark, sf, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    totals = d.groupBy("source").agg(F.count("*").alias("n"))
+    mode = (
+        top.select("source", F.col("lang").alias("top_lang"))
+        .join(totals, "source")
+        .select(
+            F.lit("mode").alias("src"),
+            F.col("source").alias("k"),
+            F.col("top_lang").alias("v1"),
+            F.col("n").cast("string").alias("v2"),
+        )
+    )
+    return minmax.unionByName(mode).orderBy("src", "k")
 
 
-SQL_MINBY = """
-SELECT s_nationkey, arg_max(s_name, s_acctbal) AS richest,
-       arg_min(s_name, s_acctbal) AS poorest
-FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+SQL_EXTREME_AGGS = """
+SELECT 'minmax' AS src, s_nationkey::VARCHAR AS k,
+       arg_max(s_name, s_acctbal) AS v1, arg_min(s_name, s_acctbal) AS v2
+FROM supplier GROUP BY s_nationkey
+UNION ALL
+SELECT 'mode' AS src, t.source AS k, t.top_lang AS v1, n::VARCHAR AS v2
+FROM (
+  SELECT source, lang AS top_lang,
+         row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+  FROM documents GROUP BY source, lang) t
+JOIN (SELECT source, count(*) AS n FROM documents GROUP BY source) s2
+  ON t.source = s2.source
+WHERE rn = 1 ORDER BY src, k
 """
 
 
@@ -456,42 +489,36 @@ FROM orders GROUP BY 1 ORDER BY month
 """
 
 
-def q_hour_window(spark, sf):
-    """Tumbling event-time window (streaming-semantics op, batch-expressed)."""
+def q_event_windows(spark, sf):
+    """TUMBLING + SLIDING event-time windows in one tagged union (§2.9).
+    Tumbling: F.window(ts, '1 hour'). Sliding ('rolling fetch-rate'):
+    F.window(ts, '10 minutes', '1 minute') — each event lands in 10
+    overlapping windows; the oracle mirrors the slide by exploding each
+    event into its 10 epoch-aligned window starts."""
     e = T(spark, sf, "events")
-    return (
+    tumble = (
         e.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(F.col("w.start").alias("hour"), "n", "sum_value")
-        .orderBy("hour")
+        .select(F.lit("tumbling").alias("kind"), F.col("w.start").alias("win_start"), "n", "sum_value")
     )
-
-
-SQL_HOUR_WINDOW = """
-SELECT date_trunc('hour', ts) AS hour, count(*) AS n, round(sum(value), 4) AS sum_value
-FROM events GROUP BY 1 ORDER BY hour
-"""
-
-
-def q_sliding_window(spark, sf):
-    """Sliding event-time window (§2.9 'rolling fetch-rate'): 10-minute
-    windows sliding every 1 minute — each event lands in 10 overlapping
-    windows. F.window(ts, '10 minutes', '1 minute'); the oracle mirrors it
-    by exploding each event into its 10 epoch-aligned window starts."""
-    e = T(spark, sf, "events")
-    return (
+    slide = (
         e.groupBy(F.window("ts", "10 minutes", "1 minute").alias("w"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
-        .orderBy("win_start")
+        .select(F.lit("sliding").alias("kind"), F.col("w.start").alias("win_start"), "n", "sum_value")
     )
+    return tumble.unionByName(slide).orderBy("kind", "win_start")
 
 
-SQL_SLIDING_WINDOW = """
-SELECT date_trunc('minute', ts) - (k * INTERVAL 1 MINUTE) AS win_start,
+SQL_EVENT_WINDOWS = """
+SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS win_start,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'sliding' AS kind,
+       date_trunc('minute', ts) - (k * INTERVAL 1 MINUTE) AS win_start,
        count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events, UNNEST(range(10)) AS u(k)
-GROUP BY 1 ORDER BY win_start
+GROUP BY 2 ORDER BY kind, win_start
 """
 
 
@@ -665,14 +692,13 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "window_funcs": (q_window_funcs, SQL_WINDOW_FUNCS),
     "asof_latest": (q_asof_latest, SQL_ASOF),
     "grouping_analytics": (q_grouping_analytics, SQL_GROUPING_ANALYTICS),
-    "minby_maxby": (q_minby_maxby, SQL_MINBY),
+    "extreme_aggs": (q_extreme_aggs, SQL_EXTREME_AGGS),
     "approx_sketches": (q_approx_sketches, None),
     "topk_global": (q_topk_global, SQL_TOPK),
     "setops": (q_setops, SQL_SETOPS),
     "string_funcs": (q_string_funcs, SQL_STRING),
     "date_funcs": (q_date_funcs, SQL_DATE),
-    "hour_window": (q_hour_window, SQL_HOUR_WINDOW),
-    "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
+    "event_windows": (q_event_windows, SQL_EVENT_WINDOWS),
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "json_funcs": (q_json_funcs, SQL_JSON),
     "collection_funcs": (q_collection_funcs, SQL_COLLECTION),
@@ -680,34 +706,6 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "correlated_scalar": (q_correlated_scalar, SQL_CORRELATED),
 }
 
-def q_mode_agg(spark, sf):
-    """Deterministic mode: dominant language per source (§2.4). Built-in
-    mode() breaks ties engine-specifically, so the tiebreak is explicit:
-    highest count, then lexicographically-smallest lang."""
-    d = T(spark, sf, "documents")
-    counts = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
-    w = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
-    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    totals = d.groupBy("source").agg(F.count("*").alias("n"))
-    return (
-        top.select("source", F.col("lang").alias("top_lang"))
-        .join(totals, "source")
-        .orderBy("source")
-    )
-
-
-SQL_MODE = """
-WITH counts AS (
-  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
-top AS (
-  SELECT source, lang AS top_lang,
-         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
-  FROM counts)
-SELECT t.source, t.top_lang, n FROM top t
-JOIN (SELECT source, count(*) AS n FROM documents GROUP BY source) s
-  ON t.source = s.source
-WHERE rn = 1 ORDER BY t.source
-"""
 
 
 def q_math_funcs(spark, sf):
@@ -767,10 +765,81 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# iterative link-graph analytics (frontier priority scoring)
+# --------------------------------------------------------------------------
+
+def q_link_pagerank(spark, sf):
+    """Link-graph PageRank — 3 unrolled power iterations, damping 0.85 —
+    the iterative-algorithm class a crawler uses to score frontier
+    priority beyond BFS depth. Each iteration is ONE shuffle: join ranks
+    onto the edge list by src, hash-aggregate contributions by dst
+    (partial+final), recombine with the teleport term; at 10^10 edges the
+    edge list is pre-partitioned by src and the rank table by dst, so the
+    join reuses a stable partitioning across iterations. The deterministic
+    synthetic edge list (each doc links to 3 arithmetic peers mod N) is
+    constructible in plain SQL, so even the ITERATIVE loop is value-checked
+    against the DuckDB oracle (unrolled CTEs)."""
+    d = T(spark, sf, "documents").select("doc_id")
+    n = d.count()  # scalar; the oracle uses a count(*) scalar subquery
+    edges = None
+    for a, b in ((7, 1), (13, 2), (31, 3)):
+        e = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    ranks = d.select(F.col("doc_id").alias("nid"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("nid", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / 3).alias("c"))
+        )
+        ranks = (
+            d.select(F.col("doc_id").alias("nid"))
+            .join(contrib.withColumnRenamed("dst", "nid"), "nid", "left")
+            .select(
+                "nid",
+                (F.lit(0.15 / n) + F.lit(0.85) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+        )
+    return (
+        ranks.select(F.col("nid").alias("doc_id"), F.round("rank", 9).alias("pagerank"))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pagerank() -> str:
+    nn = "(SELECT count(*) FROM documents)"
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{a}+{b}) % {nn} AS dst FROM documents"
+        for a, b in ((7, 1), (13, 2), (31, 3))
+    )
+    out = [f"WITH edges AS ({edges}),",
+           f"r0 AS (SELECT doc_id AS nid, 1.0/{nn} AS rank FROM documents)"]
+    for k in range(3):
+        out.append(
+            f""", r{k + 1} AS (
+  SELECT d.doc_id AS nid, 0.15/{nn} + 0.85 * coalesce(c.c, 0) AS rank
+  FROM documents d LEFT JOIN (
+    SELECT e.dst, sum(r.rank/3) AS c
+    FROM edges e JOIN r{k} r ON r.nid = e.src GROUP BY e.dst) c
+  ON c.dst = d.doc_id)"""
+        )
+    out.append("SELECT nid AS doc_id, round(rank, 9) AS pagerank FROM r3 ORDER BY doc_id")
+    return "\n".join(out)
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
 QUERIES.update(
     {
-        "mode_agg": (q_mode_agg, SQL_MODE),
         "math_funcs": (q_math_funcs, SQL_MATH),
         "stats_funcs": (q_stats_funcs, SQL_STATS),
+        "link_pagerank": (q_link_pagerank, SQL_PAGERANK),
     }
 )

@@ -101,3 +101,38 @@ def test_iceberg_catalog_roundtrip_timetravel_prune(spark, tmp_path):
     assert cat.latest_round("t") == 1
     assert cat.prune(lambda s: s.round <= 0) == 1
     assert cat.load(spark, "t").count() == 5
+
+
+def test_compact_folds_append_chain(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    for r in range(3):
+        cat.commit("t", spark.range(r * 10, r * 10 + 10), r, mode="append")
+    before = {r.id for r in cat.load(spark, "t").collect()}
+    assert len(cat.snapshots("t")[-1]["dirs"]) == 3
+    cat.compact(spark, "t", target_partitions=1)
+    after_snap = cat.snapshots("t")[-1]
+    assert len(after_snap["dirs"]) == 1
+    assert after_snap["round"] == 2  # round preserved
+    assert {r.id for r in cat.load(spark, "t").collect()} == before
+    # time-travel to pre-compaction rounds still works
+    assert cat.load(spark, "t", round=0).count() == 10
+
+
+def test_expire_snapshots_removes_unreferenced_dirs(spark, tmp_path):
+    import os
+
+    cat = Catalog(str(tmp_path))
+    for r in range(3):
+        cat.commit("t", spark.range(10), r, mode="append")
+    cat.compact(spark, "t")
+    old_dirs = [d for s in cat.snapshots("t")[:-1] for d in s["dirs"]]
+    n = cat.expire_snapshots("t", keep_last=1)
+    assert n > 0
+    kept = cat.snapshots("t")
+    assert len(kept) == 1
+    assert cat.load(spark, "t").count() == 30
+    # compacted dir survives; pre-compaction dirs are gone from disk
+    survivors = {d for s in kept for d in s["dirs"]}
+    for d in old_dirs:
+        if d not in survivors:
+            assert not os.path.isdir(d)
