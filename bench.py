@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_lsh",
     "tokens_fingerprints",
+    "corpus_clean",
+    "link_pagerank",
 ]
 
 # steady-state crawl round: a pre-filled frontier (the 10^10 design point's
@@ -318,7 +320,7 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
 
     qtimes = _run_phase("headline")
-    crawl_hi = _best_of("crawl", CPUS, repeats)
+    crawl_hi = _best_of("crawl", CPUS, max(repeats, 3))  # ~1 min/run: cheap insurance on the headline number
 
     crawl_n = crawl_4n = None
     eff_pairs: list[float] = []

@@ -102,3 +102,34 @@ def test_group_crawl_delay_of_other_agent_ignored():
         "User-agent: googlebot\nCrawl-delay: 9\nUser-agent: *\nDisallow: /p\n"
     )
     assert delay == 0
+
+
+def test_matches_stdlib_robotparser_on_plain_rules():
+    """Cross-check against urllib.robotparser (the public stdlib
+    implementation) on wildcard-free rule sets. Scope caveat: stdlib
+    implements the 1994 draft's FIRST-MATCH-in-file-order semantics, while
+    we implement RFC 9309 longest-match (Allow wins ties). The two agree
+    exactly when more-specific rules are listed before shorter overlapping
+    ones — the fixtures below are written that way, so any mismatch is a
+    real matcher bug, not a spec difference."""
+    import urllib.robotparser as urp
+
+    from gpse.robots import path_allowed, parse_robots
+
+    bodies = [
+        "User-agent: *\nAllow: /a/b\nDisallow: /a\n",
+        "User-agent: *\nAllow: /priv/pub\nDisallow: /priv/\nDisallow: /tmp\n",
+        "User-agent: googlebot\nDisallow: /g\nUser-agent: *\nDisallow: /x/y\n",
+        "User-agent: *\nUser-agent: other\nAllow: /both/ok\nDisallow: /both\n",
+        "User-agent: *\nDisallow:\n",
+    ]
+    paths = ["/", "/a", "/a/b", "/a/bc", "/priv/", "/priv/pub/x", "/tmp",
+             "/tmpx", "/x/y", "/x", "/both", "/both/ok", "/g"]
+    for body in bodies:
+        rp = urp.RobotFileParser()
+        rp.parse(body.splitlines())
+        dis, alw, _ = parse_robots(body)
+        for p in paths:
+            ours = path_allowed(p, dis, alw)
+            ref = rp.can_fetch("*", f"http://h.example{p}")
+            assert ours == ref, (body, p, ours, ref)
