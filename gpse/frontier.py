@@ -92,10 +92,10 @@ def schedule_batch(
     done. The three DataFrames partition the round's queued set, all
     derived from ONE window pipeline — the deferral complement falls out
     of the same row_number that enforces the budget, so no re-derivation
-    anti-joins. With a batch cap, the post-budget set is persisted
-    (MEMORY_AND_DISK) so the top-k pick and its overflow complement — and
-    the separate actions that commit them — share one computation of the
-    robots+budget pipeline instead of re-running it per consumer."""
+    anti-joins. The slim post-window set is persisted (MEMORY_AND_DISK)
+    so the batch and its deferral complement — committed by separate
+    actions — share one computation of the robots+budget pipeline
+    instead of re-running it per consumer."""
     q = frontier.filter(F.col("state") == "queued")
     j = q.join(
         F.broadcast(host_policy.select("host", "disallow", "allow", "crawl_delay_ms", "budget_per_round")),
@@ -138,24 +138,31 @@ def schedule_batch(
     allowed = j.filter(F.col("allowed"))
     w = Window.partitionBy("host").orderBy("priority", "url_hash")
     budget = F.coalesce(F.col("budget_per_round"), F.lit(DEFAULT_BUDGET))
-    allowed = allowed.withColumn("_rn", F.row_number().over(w))
-    ok = allowed.filter(F.col("_rn") <= budget).drop("_rn")
+    # Persist the SLIM post-window set (frontier cols + delay + _rn; the
+    # policy's rule arrays are dropped first): the scheduled batch and the
+    # budget-overflow complement are consumed by SEPARATE actions (pages
+    # commit vs frontier commit), and without this cache the second action
+    # re-executes the whole robots-join + window pipeline for the deferred
+    # branch — measured ~5 s/round at the bench frontier.
+    from pyspark import StorageLevel
+
+    allowed = (
+        allowed.withColumn("_rn", F.row_number().over(w))
+        .select(*frontier.columns, "crawl_delay_ms", "budget_per_round", "_rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cleanup = lambda: allowed.unpersist()  # noqa: E731
+    ok = allowed.filter(F.col("_rn") <= budget).drop("_rn", "budget_per_round")
     deferred = allowed.filter(F.col("_rn") > budget).select(*frontier.columns)
-    cleanup = lambda: None  # noqa: E731
     if batch_size is not None:
         # priority-queue pop: global top-k by the total order. Spark's
         # TakeOrderedAndProject is driver-merged — right for k ≪ frontier;
         # for an uncapped round (batch_size=None) the budget window already
         # bounds the batch and the selection is a set, so no global sort.
-        # Rows within budget but beyond the batch cap also defer. `ok` is
-        # persisted because capped AND overflow both read it, from separate
-        # downstream actions (pages commit vs frontier commit).
-        from pyspark import StorageLevel
-
-        ok_p = ok.persist(StorageLevel.MEMORY_AND_DISK)
-        cleanup = lambda: ok_p.unpersist()  # noqa: E731
-        capped = ok_p.orderBy("priority", "url_hash").limit(batch_size)
-        overflow = ok_p.join(capped.select("url_hash"), "url_hash", "left_anti").select(
+        # Rows within budget but beyond the batch cap also defer; capped
+        # and overflow both derive from the persisted window set.
+        capped = ok.orderBy("priority", "url_hash").limit(batch_size)
+        overflow = ok.join(capped.select("url_hash"), "url_hash", "left_anti").select(
             *frontier.columns
         )
         deferred = deferred.unionByName(overflow)

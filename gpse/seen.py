@@ -157,6 +157,13 @@ def dedup_new_urls(
     """
     keys = [c for c in ("url_hash", "url") if c in candidates.columns]
     attrs = [c for c in candidates.columns if c not in keys]
+    # Repartition by url_hash ALONE first: HashPartitioning(url_hash)
+    # satisfies both the groupBy(url_hash, url) clustering (grouping keys
+    # ⊇ partition key) and the later anti-join's url_hash distribution, so
+    # the candidate side shuffles exactly ONCE for the whole dedup subtree
+    # (measured ~2× on the bench round's 1.5M-candidate explode; the naive
+    # form shuffles for the agg and AGAIN for the join).
+    candidates = candidates.repartition(F.col("url_hash"))
     if attrs:
         cand = (
             candidates.groupBy(*keys)

@@ -93,3 +93,34 @@ def test_udtf_matches_extract_one(spark):
     for url, pairs in got.items():
         _, links = extract_one(pages[url], url)
         assert [l for _, l in sorted(pairs)] == links
+
+
+def test_arrow_path_matches_pandas_path(spark):
+    """parse_extract (mapInArrow hot path) must produce byte-identical
+    text/links to parse_extract_pandas (the scalar-UDF reference form)."""
+    from gpse import synth
+    from gpse.extract import parse_extract, parse_extract_pandas
+
+    cfg = synth.CorpusCfg(n_pages=120, n_hosts=8, seed=42)
+    pages = synth.gen_pages(spark, cfg, partitions=3).drop("text")
+    a = {
+        r["url"]: (r["text"], list(r["links"]))
+        for r in parse_extract(pages).select("url", "text", "links").collect()
+    }
+    b = {
+        r["url"]: (r["text"], list(r["links"]))
+        for r in parse_extract_pandas(pages).select("url", "text", "links").collect()
+    }
+    assert a == b
+
+
+def test_parse_extract_rejects_colliding_columns(spark):
+    import pytest as _pytest
+
+    from gpse import synth
+    from gpse.extract import parse_extract
+
+    cfg = synth.CorpusCfg(n_pages=10, n_hosts=2, seed=42)
+    pages = synth.gen_pages(spark, cfg, partitions=1)  # has a `text` column
+    with _pytest.raises(ValueError):
+        parse_extract(pages)

@@ -117,3 +117,27 @@ def test_similarity_lsh_banded_equi_join(spark):
     p = plan_of(q_similarity_lsh(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_dedup_new_urls_single_candidate_exchange(spark):
+    """The candidate side of dedup_new_urls must shuffle exactly once: the
+    url_hash repartition feeds BOTH the min-agg (grouping keys ⊇ partition
+    key) and the left-anti join, so no second Exchange appears between the
+    aggregate and the join (measured ~2× on the bench round)."""
+    from gpse import seen as seen_mod
+
+    cand = (
+        spark.range(0, 1000)
+        .select(
+            F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+            F.xxhash64(F.concat(F.lit("http://h/"), F.col("id"))).alias("url_hash"),
+            (F.col("id") % 3).cast("int").alias("depth"),
+            F.lit(7).cast("long").alias("src_url_hash"),
+        )
+    )
+    seen = spark.range(0, 100).select(F.xxhash64(F.col("id")).alias("url_hash"))
+    p = plan_of(seen_mod.dedup_new_urls(cand, seen))
+    # exchanges: one for the candidate repartition, one for the seen side —
+    # and none between the HashAggregate pair and the anti-join
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, p
