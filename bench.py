@@ -225,11 +225,22 @@ def _phase_main(phase: str, cores: int, layout: int = 0) -> None:
     output."""
     if phase == "headline":
         spark = _session(f"local[{CPUS}]", max(CPUS, 16))
+        from pyspark.sql import functions as F
         from gpse import synth
 
         corpus = synth.CorpusCfg(n_pages=CRAWL_N_PAGES, n_hosts=CRAWL_N_HOSTS, seed=42)
         if not os.path.exists(os.path.join(_bodies_path(), "_SUCCESS")):
             materialize_origin(spark, corpus, _bodies_path())  # untimed: "the web"
+        # untimed generic warmup (a long-lived cluster is always warm):
+        # JIT the codegen/agg/shuffle paths, the parquet reader, and fork
+        # the Python worker pool — with GENERIC jobs, not the measured
+        # queries, so the timings are steady-state but never pre-cached
+        spark.range(0, 2_000_000, 1, CPUS).selectExpr("id % 9973 AS k", "id AS v") \
+            .groupBy("k").agg(F.min("v"), F.count("*")).selectExpr("count(*)").collect()
+        spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).collect()
+        spark.range(0, 10_000, 1, CPUS).mapInPandas(
+            lambda it: (b for b in it), "id long"
+        ).count()
         out = run_queries(spark)
     elif phase == "probe":
         spark = _session(f"local[{cores}]", 16)
