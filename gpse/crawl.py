@@ -139,8 +139,13 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         "partition_id",
         "sched_offset_ms",
     )
+    # free global counters: accumulated by df.observe DURING the write
+    # action itself (zero extra scans); cross-checked against the
+    # per-partition metrics table below
+    log, obs = metrics_mod.observe_fetch(log)
     with _t("pages commit (fetch+parse+extract+write)"):
         cat.commit("pages", log, round_n, mode="append")
+    observed = obs.get
     pl = cat.load_delta(spark, "pages", round_n)
 
     # candidate URLs: explode outlinks (already canonical from extractor).
@@ -222,6 +227,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         "round": round_n,
         "n_scheduled": n_fetched,
         "n_new_urls": n_new,
+        "observed": observed,  # df.observe counters from the pages write
         "wall_s": wall,
         "urls_per_s": (n_fetched / wall) if wall > 0 else 0.0,
     }

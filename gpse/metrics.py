@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Observation
 
 METRICS_SCHEMA = (
     "round int, partition_id int, n_fetched long, n_ok long, n_err long, "
@@ -34,3 +35,21 @@ def round_metrics(pages_log: DataFrame, round_n: int) -> DataFrame:
         )
         .select(F.lit(round_n).cast("int").alias("round"), "*")
     )
+
+
+def observe_fetch(pages_log: DataFrame, name: str = "gpse_round") -> tuple[DataFrame, Observation]:
+    """Attach round counters via `df.observe` (SURVEY §2.1 metrics sink):
+    the metrics accumulate DURING whatever action consumes the returned
+    DataFrame — e.g. the pages commit — so the totals cost zero extra
+    scans. Complements `round_metrics` (per-partition rows need a groupBy;
+    these are the free global counters), and the e2e suite cross-checks
+    the two against each other. Only successful tasks contribute
+    (Observation semantics), so retries never double-count."""
+    obs = Observation(name)
+    out = pages_log.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
+        F.sum("bytes").alias("bytes_in"),
+    )
+    return out, obs

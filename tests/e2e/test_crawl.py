@@ -118,10 +118,25 @@ def test_robots_private_never_fetched_from_disallowing_hosts(spark, baseline):
 
 
 def test_metrics_emitted_per_partition_per_round(spark, baseline):
-    cat, _ = baseline
+    cat, stats = baseline
     m = cat.load(spark, "metrics")
     assert {r.round for r in m.select("round").distinct().collect()} == {0, 1, 2}
     assert m.filter(F.col("n_fetched") <= 0).count() == 0
+    # the df.observe counters (accumulated during the pages write, zero
+    # extra scans) must agree with the per-partition metrics table's sums
+    per_round = {
+        r["round"]: (r["nf"], r["ok"], r["b"])
+        for r in m.groupBy("round")
+        .agg(
+            F.sum("n_fetched").alias("nf"),
+            F.sum("n_ok").alias("ok"),
+            F.sum("bytes_in").alias("b"),
+        )
+        .collect()
+    }
+    for s in stats:
+        o = s["observed"]
+        assert per_round[s["round"]] == (o["n_fetched"], o["n_ok"], o["bytes_in"])
 
 
 def test_bloom_matches_exact_dedup(spark, baseline, tmp_path):
