@@ -92,3 +92,19 @@ def test_missing_urls_are_404(spark):
     out = {r.url: r.status for r in fetch_mod.fetch_from_corpus(sched, corpus, 2).collect()}
     assert out["http://h1.example/p/1"] == 200
     assert out["http://h1.example/nope"] == 404
+
+
+def test_observe_fetch_counters_match_data(spark):
+    """df.observe counters (metrics.observe_fetch) must equal a direct
+    aggregation of the same fetch log — and cost no extra action."""
+    from gpse import metrics as metrics_mod
+
+    sched = _sched(spark, ["http://h1.example/p/1", "http://h1.example/nope"])
+    corpus = _corpus(spark, [("http://h1.example/p/1", T0, b"abcd")])
+    log = fetch_mod.fetch_from_corpus(sched, corpus, 2)
+    observed_df, obs = metrics_mod.observe_fetch(log)
+    rows = observed_df.collect()  # the single action that fills the observation
+    got = obs.get
+    assert got["n_fetched"] == len(rows) == 2
+    assert got["n_ok"] == sum(1 for r in rows if r.status == 200) == 1
+    assert got["bytes_in"] == sum(r.bytes for r in rows) == 4
