@@ -74,6 +74,10 @@ def _session(master: str, shuffle_partitions: int):
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # smaller Arrow batches pipeline the Python extract stage better
+        # (measured ~7% on the extract stage) and bound worker memory when
+        # the binary column dominates (SCALE.md)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
