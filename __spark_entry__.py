@@ -133,13 +133,23 @@ def q_crawl_schedule(spark, sf):
     cfg = synth.CorpusCfg(n_pages=400, n_hosts=25, seed=42)
     f0 = frontier.from_seeds(spark, synth.seed_urls(cfg), n_salts=4)
     policy = robots.build_host_policy(synth.gen_robots(spark, cfg))
-    sched, _, _, _ = frontier.schedule_batch(f0, policy, batch_size=100, num_partitions=4)
+    sched, _, _, cleanup = frontier.schedule_batch(f0, policy, batch_size=100, num_partitions=4)
+    # single consumer → release the scheduler's cache immediately
+    # (unpersist is lazily safe: the plan stays computable; ADVICE r02
+    # flagged the discarded cleanup as a per-run cache leak)
+    cleanup()
     return sched.select("url", "host", "priority", "depth").orderBy("priority", "url")
 
 
 def q_crawl_round(spark, sf):
     """One full crawl round end-to-end (fetch→parse→extract→dedup→commit)
-    in a temp catalog; returns the per-partition metrics table."""
+    in a temp catalog; returns the per-partition metrics table. The
+    catalog lives at ONE fixed scratch path, wiped on entry, so repeated
+    driver runs stay bounded (the returned DataFrame is collected by the
+    caller AFTER this function returns, so the files must outlive it —
+    a TemporaryDirectory context would delete them too early)."""
+    import os
+    import shutil
     import tempfile
 
     from gpse import crawl, synth
@@ -151,7 +161,9 @@ def q_crawl_round(spark, sf):
         num_partitions=4,
         n_salts=4,
     )
-    cat = Catalog(tempfile.mkdtemp(prefix="gpse_entryq_"))
+    base = os.path.join(tempfile.gettempdir(), "gpse_entryq_catalog")
+    shutil.rmtree(base, ignore_errors=True)
+    cat = Catalog(base)
     crawl.run(spark, cat, cfg, 1)
     return cat.load(spark, "metrics").orderBy("partition_id")
 

@@ -41,6 +41,7 @@ class _Snap:
     dirs: list[str]      # full file-dir list for this snapshot (Iceberg manifest analogue)
     committed_ts: float
     data_dir: str = ""   # the single dir this commit added (delta reads)
+    compaction: bool = False  # rewrite_data_files snapshot: same rows, new files
 
 
 class Catalog:
@@ -73,12 +74,17 @@ class Catalog:
         os.replace(tmp, self._manifest_path)  # atomic commit point
 
     # ---- public API ---------------------------------------------------
-    def commit(self, name: str, df: DataFrame, round: int, mode: str = "overwrite") -> str:
+    def commit(
+        self, name: str, df: DataFrame, round: int, mode: str = "overwrite",
+        compaction: bool = False,
+    ) -> str:
         """Atomically commit a new generation of `name` for crawl `round`.
 
         'overwrite' snapshots replace the table; 'append' snapshots extend
         the previous snapshot's file list (no rewrite of old data — O(delta)
-        per round, which is what makes a 10^10-row seen set committable)."""
+        per round, which is what makes a 10^10-row seen set committable).
+        `compaction` marks a rewrite_data_files snapshot (same logical rows,
+        new physical files) so incremental readers (load_delta) skip it."""
         snaps = self._read_manifest()
         n = sum(1 for s in snaps if s.table == name)
         snap_id = f"snap-{name}-{n:05d}-r{round}"
@@ -93,7 +99,7 @@ class Catalog:
         df.write.mode("errorifexists").parquet(data_dir)
         prev = self._latest(snaps, name, None)
         dirs = [data_dir] if mode == "overwrite" else (list(prev.dirs) if prev else []) + [data_dir]
-        snaps.append(_Snap(name, round, snap_id, mode, dirs, time.time(), data_dir))
+        snaps.append(_Snap(name, round, snap_id, mode, dirs, time.time(), data_dir, compaction))
         self._write_manifest(snaps)
         return snap_id
 
@@ -114,10 +120,14 @@ class Catalog:
     def load_delta(self, spark: SparkSession, name: str, round: int) -> DataFrame:
         """Read ONLY the files a specific round's commit added (an Iceberg
         incremental/changelog read). Lets a round re-read its own freshly
-        written data with column pruning instead of holding a wide persist."""
+        written data with column pruning instead of holding a wide persist.
+        Compaction snapshots are skipped: they rewrite the WHOLE table at
+        the current round, so treating one as that round's delta would
+        return every row ever committed (ADVICE r02)."""
         cand = [
             s for s in self._read_manifest()
             if s.table == name and s.round == round and s.data_dir
+            and not s.compaction
         ]
         if not cand:
             raise KeyError(f"no delta commit for table {name!r} at round {round}")
@@ -152,7 +162,7 @@ class Catalog:
         df = spark.read.parquet(*cur.dirs)
         if target_partitions:
             df = df.coalesce(target_partitions)
-        return self.commit(name, df, cur.round, mode="overwrite")
+        return self.commit(name, df, cur.round, mode="overwrite", compaction=True)
 
     def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
         """Drop all but the last `keep_last` manifest snapshots of `name`
@@ -224,11 +234,31 @@ class IcebergCatalog:
         return f"{self.cat}.{self.ns}.{name}"
 
     def _snaps(self, name: str) -> list[dict]:
+        """Snapshot log of `name`, RESTRICTED to ancestors of the current
+        main-branch head. The `<table>.snapshots` metadata table keeps
+        rolled-back snapshots listed until expire_snapshots, so after a
+        `prune` (rollback_to_snapshot) the raw table would still resolve
+        the dropped rounds and silently break crash recovery (ADVICE r02).
+        Walking the parent_id chain from the head makes rolled-back
+        snapshots invisible, matching the parquet Catalog's manifest
+        semantics."""
         rows = self.spark.sql(
             f"SELECT snapshot_id, parent_id, committed_at, "
             f"summary['gpse-round'] AS r FROM {self._tbl(name)}.snapshots "
             f"ORDER BY committed_at"
         ).collect()
+        by_id = {str(x.snapshot_id): x for x in rows}
+        head_rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._tbl(name)}.refs WHERE name = 'main'"
+        ).collect()
+        if head_rows:
+            ancestors: set[str] = set()
+            cur = str(head_rows[0].snapshot_id)
+            while cur is not None and cur in by_id and cur not in ancestors:
+                ancestors.add(cur)
+                p = by_id[cur].parent_id
+                cur = None if p is None else str(p)
+            rows = [x for x in rows if str(x.snapshot_id) in ancestors]
         return [
             {
                 "table": name,

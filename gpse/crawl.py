@@ -60,6 +60,9 @@ class CrawlCfg:
     # None = auto-detect; True when the origin is known single-capture
     # (skips the max-ts selection and its detection job entirely)
     corpus_unique_captures: bool | None = None
+    # scheduled batches estimated beyond this stop broadcasting into the
+    # corpus fetch join and switch to a shuffled hash join (gpse/fetch.py)
+    fetch_broadcast_max_bytes: int = 512 << 20
 
 
 def init_crawl(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, seeds=None, seed_df=None) -> None:
@@ -109,8 +112,16 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
     if cfg.corpus_bodies_path:
         bodies = spark.read.parquet(cfg.corpus_bodies_path)
+        if cfg.corpus_unique_captures is None:
+            # the answer is a property of the (fixed) origin corpus, not of
+            # the round — detect once and memoize on the cfg so a multi-round
+            # crawl doesn't re-run the full groupBy(url) detection job every
+            # round (ADVICE r02: at the 10^10-URL design point that is a huge
+            # recurring aggregation whose answer never changes)
+            cfg.corpus_unique_captures = fetch_mod.detect_unique_captures(bodies)
         fetched = fetch_mod.fetch_from_corpus(
-            sched, bodies, cfg.num_partitions, cfg.corpus_unique_captures
+            sched, bodies, cfg.num_partitions, cfg.corpus_unique_captures,
+            max_broadcast_bytes=cfg.fetch_broadcast_max_bytes,
         )
     else:
         fetched = fetch_mod.fetch(sched, cfg.corpus)

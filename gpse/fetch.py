@@ -5,8 +5,14 @@ enforced inside mapInPandas fetch batches" (named verbatim). The scheduler
 (gpse/frontier.py) already caps per-host volume at plan level and routes
 every (host, salt) group to one partition; this module enforces the
 *temporal* half inside each Arrow batch: fetches of a host are spaced by
-its crawl-delay on a simulated clock (no wall-clock sleeps — determinism
-and benchability; swap `_SIMULATED=False` for real pacing on a cluster).
+its crawl-delay. Two pacing modes (``fetch(pacing=...)``):
+
+  * ``"simulated"`` (default) — the politeness clock is computed but not
+    slept: each row carries its due offset (`sched_offset_ms`).
+    Deterministic and benchable; the offsets ARE the pacing contract.
+  * ``"wall"`` — each fetch additionally waits until its due offset on the
+    real clock (scaled by `time_scale` for tests), which is what a live
+    HTTP crawl needs. Unit-tested with an injected fake clock.
 
 The sandbox has no network (SURVEY.md §7.2), so the HTTP origin is the
 deterministic synthetic corpus: html bytes are a pure function of the URL
@@ -16,7 +22,8 @@ unknown hosts, or with a host that doesn't own the page id → 404.
 
 from __future__ import annotations
 
-from typing import Iterator
+import time
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -32,9 +39,44 @@ FETCHED_SCHEMA = (
 )
 
 
-def fetch(scheduled: DataFrame, cfg: synth.CorpusCfg) -> DataFrame:
+def pace_wall_clock(
+    offsets_ms: np.ndarray,
+    time_scale: float = 1.0,
+    now: Callable[[], float] | None = None,
+    sleep: Callable[[float], None] | None = None,
+) -> list[float]:
+    """Sleep each fetch to its politeness due-time on the wall clock.
+
+    `offsets_ms[i]` is row i's due offset from the batch start (already
+    spaced by i_lane × crawl_delay per (host, salt) lane). Rows are visited
+    in due order; before each, sleep until t0 + offset·time_scale. Returns
+    the per-row emission times relative to t0 (testable with injected
+    now/sleep — the unit test uses a fake clock, so no real sleeping)."""
+    now = now or time.monotonic
+    sleep = sleep or time.sleep
+    t0 = now()
+    emitted = np.zeros(len(offsets_ms), dtype=np.float64)
+    for i in np.argsort(offsets_ms, kind="stable"):
+        due = t0 + (float(offsets_ms[i]) / 1000.0) * time_scale
+        delta = due - now()
+        if delta > 0:
+            sleep(delta)
+        emitted[i] = now() - t0
+    return emitted.tolist()
+
+
+def fetch(
+    scheduled: DataFrame,
+    cfg: synth.CorpusCfg,
+    pacing: str = "simulated",
+    time_scale: float = 1.0,
+) -> DataFrame:
     """mapInPandas fetch of a scheduled batch (already salted-repartitioned
-    and sorted within partitions by (host, priority, url_hash))."""
+    and sorted within partitions by (host, priority, url_hash)).
+    `pacing="wall"` additionally sleeps each fetch to its politeness
+    due-time (see module docstring)."""
+    if pacing not in ("simulated", "wall"):
+        raise ValueError(f"pacing must be 'simulated' or 'wall', got {pacing!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -76,6 +118,8 @@ def fetch(scheduled: DataFrame, cfg: synth.CorpusCfg) -> DataFrame:
             delay = b["crawl_delay_ms"].fillna(0).to_numpy(dtype=np.int64)
             seq = b.groupby(["host", "salt"], sort=False).cumcount().to_numpy(dtype=np.int64)
             sched_off = seq * delay
+            if pacing == "wall":
+                pace_wall_clock(sched_off, time_scale)
             if ok_ids:
                 warc = pd.Series(
                     [pd.Timestamp(int(ts_col[i]), unit="us") if status[i] == 200 else pd.NaT for i in range(n)]
@@ -101,38 +145,72 @@ def fetch(scheduled: DataFrame, cfg: synth.CorpusCfg) -> DataFrame:
     return scheduled.mapInPandas(run, schema=FETCHED_SCHEMA)
 
 
+def detect_unique_captures(corpus_bodies: DataFrame) -> bool:
+    """True iff no url has more than one capture in the origin — one slim
+    job over the origin's pruned url column. A property of the corpus, not
+    of any round: callers should detect ONCE per crawl and cache (see
+    crawl.run_round), never per round."""
+    mx = (
+        corpus_bodies.groupBy("url")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    return mx is None or int(mx) <= 1
+
+
+# Estimated in-memory bytes per slim scheduled row inside a broadcast hash
+# relation (url ~80B + host ~25B + 3 longs + int, plus UnsafeRow + hash-map
+# overhead). Deliberately conservative: under-estimating would OOM drivers.
+SCHED_ROW_BYTES = 256
+
+
 def fetch_from_corpus(
     scheduled: DataFrame,
     corpus_bodies: DataFrame,
     num_partitions: int = 32,
     unique_captures: bool | None = None,
+    max_broadcast_bytes: int = 512 << 20,
+    batch_rows_hint: int | None = None,
 ) -> DataFrame:
     """Fetch with a parquet-backed origin (the bench/replay path).
 
-    Plan shape — chosen so response bytes NEVER shuffle:
-      1. politeness pacing precomputed JVM-side: row_number window per host
-         × crawl-delay (identical values/ordering to the mapInPandas
-         fetcher's in-batch clock);
-      2. the slim scheduled batch BROADCASTS into an inner join that
-         streams the origin's parquet files in place — html bytes flow
-         scan→parse with zero shuffles or sorts (a left join would force
-         shuffling the html side: an outer join can't broadcast its
-         preserved side);
-      3. 404s (scheduled ∖ origin) recovered by an anti-join that reads
-         only the origin's pruned `url` column.
+    Plan shape, switched on the scheduled batch's estimated size — the same
+    threshold pattern as seen.dedup_new_urls' bloom-blob switch
+    (ADVICE/VERDICT r02: an UNCONDITIONAL broadcast of the batch is
+    driver-memory- and Amdahl-bound at the 10M-URL design point):
+
+    * batch ≤ max_broadcast_bytes (estimated rows × SCHED_ROW_BYTES) — the
+      slim batch BROADCASTS into an inner join that streams the origin's
+      parquet files in place: html bytes flow scan→parse with zero shuffles
+      or sorts (a left join would force shuffling the html side: an outer
+      join can't broadcast its preserved side). 404s (scheduled ∖ origin)
+      recovered by an anti-join that reads only the origin's pruned `url`
+      column.
+    * batch > max_broadcast_bytes — SHUFFLED hash join on url (the batch
+      side hinted as the hash build): no driver-side broadcast build, no
+      single-JVM batch copy. The origin's html does cross one exchange
+      here, bounded by Spark's runtime bloom-filter pruning of the origin
+      scan (spark.sql.optimizer.runtime.bloomFilter.enabled, on by default
+      in Spark 4) — and on a real cluster the origin is an Iceberg table
+      bucketed by url, so the same join is STORAGE-PARTITIONED and the
+      html never shuffles at all. Both paths are value-parity-tested.
+
+    `batch_rows_hint` spares the sizing count when the caller already knows
+    the batch row count; None counts the (normally persisted) batch once.
+
+    Politeness pacing is precomputed JVM-side either way: row_number window
+    per (host, salt) × crawl-delay — identical values/ordering to the
+    mapInPandas fetcher's in-batch clock.
 
     Multi-capture corpora (re-crawls) serve the LATEST capture — the as-of
-    pattern (SURVEY.md §2.3) via a broadcast max-key join — with
-    determinism at timestamp ties: the max key includes xxhash64(html) so
-    ties resolve by content, never by partition layout
-    (`_fetch_resolve_ties`). `unique_captures` short-circuits all of that:
-    True (the caller KNOWS each url has one capture — e.g. the bench
-    origin, or a WARC-deduped snapshot) keeps the hot path a single
-    broadcast join with zero extra jobs; None auto-detects with one
-    column-pruned scan of the origin's url column; False forces the
-    max-key path. Every driver-side broadcast build is serial time —
-    Amdahl-visible at high parallelism — so the hot path builds exactly
-    ONE broadcast (the scheduled batch).
+    pattern (SURVEY.md §2.3) via a max-key join — with determinism at
+    timestamp ties: the max key includes xxhash64(html) so ties resolve by
+    content, never by partition layout (`_fetch_resolve_ties`).
+    `unique_captures=True` (the caller KNOWS each url has one capture —
+    e.g. the bench origin, or a WARC-deduped snapshot) keeps the hot path
+    a single join with zero extra jobs; None auto-detects via
+    `detect_unique_captures`; False forces the max-key path.
 
     The real-HTTP path (`fetch`) keeps per-host pacing inside mapInPandas
     batches per the north_star; this path exists because at bench scale
@@ -150,19 +228,19 @@ def fetch_from_corpus(
     ).select("url", "url_hash", "host", "depth", "src_url_hash", "sched_offset_ms")
 
     if unique_captures is None:
-        # one slim job over the origin's pruned url column, independent of
-        # the scheduling subtree
-        mx = (
-            corpus_bodies.groupBy("url")
-            .count()
-            .agg(F.max("count").alias("m"))
-            .collect()[0]["m"]
-        )
-        unique_captures = mx is None or int(mx) <= 1
+        unique_captures = detect_unique_captures(corpus_bodies)
+
+    n_rows = scheduled.count() if batch_rows_hint is None else batch_rows_hint
+    small = n_rows * SCHED_ROW_BYTES <= max_broadcast_bytes
+
+    def bc(df: DataFrame) -> DataFrame:
+        # broadcast below the threshold; above it, shuffle with the slim
+        # side as the hash build (hint survives AQE re-planning)
+        return F.broadcast(df) if small else df.hint("shuffle_hash")
 
     if unique_captures:
         ok = corpus_bodies.select("url", "warc_ts", "html").join(
-            F.broadcast(s), "url", "inner"
+            bc(s), "url", "inner"
         )
     else:
         # multi-capture: latest wins. Timestamp ties are detected on a
@@ -171,7 +249,7 @@ def fetch_from_corpus(
         # html-hashing IO.
         maxk = (
             corpus_bodies.select("url", "warc_ts")
-            .join(F.broadcast(s.select("url")), "url", "inner")
+            .join(bc(s.select("url")), "url", "inner")
             .groupBy("url", "warc_ts")
             .agg(F.count("*").alias("_n"))
             .groupBy("url")
@@ -181,10 +259,10 @@ def fetch_from_corpus(
         has_ties = bool(maxk.filter(F.col("_n") > 1).limit(1).count())
         if not has_ties:
             ok = corpus_bodies.select("url", "warc_ts", "html").join(
-                F.broadcast(s), "url", "inner"
-            ).join(F.broadcast(maxk.drop("_n")), ["url", "warc_ts"], "inner")
+                bc(s), "url", "inner"
+            ).join(bc(maxk.drop("_n")), ["url", "warc_ts"], "inner")
         else:
-            ok = _fetch_resolve_ties(corpus_bodies, s)
+            ok = _fetch_resolve_ties(corpus_bodies, s, bc)
     ok = ok.select(
         "url", "url_hash", "host", "depth", "src_url_hash",
         F.spark_partition_id().alias("partition_id"),
@@ -206,33 +284,34 @@ def fetch_from_corpus(
     return ok.unionByName(miss)
 
 
-def _fetch_resolve_ties(corpus_bodies: DataFrame, s: DataFrame) -> DataFrame:
+def _fetch_resolve_ties(corpus_bodies: DataFrame, s: DataFrame, bc) -> DataFrame:
     """Tie-resolving fetch join (rare path): the max key per url is
     (warc_ts, xxhash64(html)) so same-timestamp captures pick the max
     content hash deterministically; byte-identical duplicate captures
     (same url, warc_ts AND bytes) are collapsed by a dropDuplicates that
-    only ever shuffles the few key-duplicated rows."""
+    only ever shuffles the few key-duplicated rows. `bc` is the caller's
+    broadcast-or-shuffle policy for batch-sized relations."""
     ok0 = corpus_bodies.select(
         "url", "warc_ts", "html", F.xxhash64("html").alias("_hh")
-    ).join(F.broadcast(s), "url", "inner")
+    ).join(bc(s), "url", "inner")
     maxkey = (
         corpus_bodies.select("url", "warc_ts", F.xxhash64("html").alias("_hh"))
-        .join(F.broadcast(s.select("url")), "url", "inner")
+        .join(bc(s.select("url")), "url", "inner")
         .groupBy("url")
         .agg(F.max(F.struct("warc_ts", "_hh")).alias("_k"))
         .select("url", F.col("_k.warc_ts").alias("warc_ts"), F.col("_k._hh").alias("_hh"))
     )
-    ok = ok0.join(F.broadcast(maxkey), ["url", "warc_ts", "_hh"], "inner")
+    ok = ok0.join(bc(maxkey), ["url", "warc_ts", "_hh"], "inner")
     dupkeys = (
         corpus_bodies.select("url", "warc_ts", F.xxhash64("html").alias("_hh"))
-        .join(F.broadcast(maxkey), ["url", "warc_ts", "_hh"], "left_semi")
+        .join(bc(maxkey), ["url", "warc_ts", "_hh"], "left_semi")
         .groupBy("url", "warc_ts", "_hh")
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > 1)
         .drop("_n")
     )
-    clean = ok.join(F.broadcast(dupkeys), ["url", "warc_ts", "_hh"], "left_anti")
+    clean = ok.join(bc(dupkeys), ["url", "warc_ts", "_hh"], "left_anti")
     dupped = ok.join(
-        F.broadcast(dupkeys), ["url", "warc_ts", "_hh"], "left_semi"
+        bc(dupkeys), ["url", "warc_ts", "_hh"], "left_semi"
     ).dropDuplicates(["url"])
     return clean.unionByName(dupped).drop("_hh")

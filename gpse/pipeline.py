@@ -544,10 +544,15 @@ def cosine_lsh_pairs(
     Two measured plan economies (same values, ~40% faster at sf0.1):
     the slim banded table is persisted so the tables×bits hyperplane
     expressions — large codegen units — are computed once instead of on
-    both sides of the self-join (n·tables rows of 3 ints; Spark evicts
-    the cache LRU / at session end), and each vector's norm is computed
-    once in the rescoring projections rather than once per candidate pair
-    (cos = dot/(na·nb), bit-identical association to the inline form)."""
+    both sides of the self-join (n·tables rows of 3 ints), and each
+    vector's norm is computed once in the rescoring projections rather
+    than once per candidate pair (cos = dot/(na·nb), bit-identical
+    association to the inline form). The candidate-id set is then
+    materialized via an eager localCheckpoint so the banded cache can be
+    RELEASED before returning — without it every invocation leaked a
+    cached RDD until LRU eviction (ADVICE r02); the checkpoint RDD itself
+    is reference-counted and reclaimed by the ContextCleaner when the
+    result is dropped."""
     from pyspark import StorageLevel
 
     buckets = F.array(*[_cos_bucket_col("embedding", t, bits, dim) for t in range(tables)])
@@ -565,7 +570,9 @@ def cosine_lsh_pairs(
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
     norm = F.sqrt(
         F.aggregate(
             F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")

@@ -118,6 +118,21 @@ def test_compact_folds_append_chain(spark, tmp_path):
     assert cat.load(spark, "t", round=0).count() == 10
 
 
+def test_load_delta_skips_compaction_snapshots(spark, tmp_path):
+    """compact() commits at the current round; an incremental read of that
+    round must still return the ROUND'S delta, not the whole compacted
+    table (ADVICE r02: the compaction snapshot would otherwise shadow the
+    real delta as cand[-1])."""
+    cat = Catalog(str(tmp_path))
+    for r in range(3):
+        cat.commit("t", spark.range(r * 10, r * 10 + 10), r, mode="append")
+    assert {x.id for x in cat.load_delta(spark, "t", 2).collect()} == set(range(20, 30))
+    cat.compact(spark, "t")
+    assert cat.load(spark, "t").count() == 30  # current read sees the rewrite
+    # the incremental read of round 2 is unchanged by the compaction
+    assert {x.id for x in cat.load_delta(spark, "t", 2).collect()} == set(range(20, 30))
+
+
 def test_expire_snapshots_removes_unreferenced_dirs(spark, tmp_path):
     import os
 
