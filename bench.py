@@ -6,17 +6,27 @@ Prints ONE JSON line:
    "crawl": {"urls_per_s_local8": ..., "urls_per_s_local32": ...,
              "scaling_efficiency": ...}}
 
-Two parts:
+Three parts:
   1. headline relational/pipeline queries at $SPARK_GRAFT_SF_DIR
-     (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+     (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — plus a
+     production-parameter MinHash+LSH run (K=128/16 bands, the 100 TB
+     knobs, vs the oracle-sized knobs the correctness gate uses);
   2. the north-star metric — URLs fetched+deduped/sec for a steady-state
      crawl round over a large synthetic frontier — measured at TWO
      parallelism levels (local[N] vs local[4N] cores, the sandbox proxy
      for N vs 4N executors, per task brief) with scaling efficiency
-     (T_N / T_4N) / 4 computed per time-adjacent pair. Every phase runs
-     in its own subprocess (own JVM) with cooldowns between phases.
+     (T_N / T_4N) / 4 computed per time-adjacent pair. A FIXED,
+     pre-declared number of pairs runs (no adaptive stopping — ADVICE
+     r02); the headline is the min-wall pair (min is the right estimator
+     under strictly-additive external load on this shared VM) with the
+     median alongside and every pair reported.
+  3. a multi-round steady-state run (3 consecutive rounds in one catalog,
+     bloom OR-merge + deferred carry-over + append chains exercised, with
+     catalog compaction/snapshot-expiry interleaved) reporting per-round
+     URLs/s — the evidence that round N+1 costs what round N did.
 
-Also rewrites BENCH/BASELINE.md with the measured numbers.
+Every phase runs in its own subprocess (own JVM) with cooldowns between
+phases. Also rewrites BENCH/BASELINE.md with the measured numbers.
 """
 
 from __future__ import annotations
@@ -98,7 +108,7 @@ def _stop(spark) -> None:
     time.sleep(1.0)
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -108,7 +118,20 @@ def run_queries(spark) -> dict[str, float]:
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
-    return out
+    # production-parameter MinHash+LSH (VERDICT r02 #4): the correctness
+    # gate runs the oracle-sized knobs (K=8/4 bands); this entry executes
+    # the 100 TB production knobs (K=128/16 bands) at sf0.1 so the
+    # production plan's wall time and candidate volume are measured, not
+    # assumed. Pair count rides along as evidence.
+    from gpse.pipeline import lsh_candidate_pairs, minhash_signatures
+    from gpse.queries import T as _T
+
+    t0 = time.time()
+    n_pairs = lsh_candidate_pairs(
+        minhash_signatures(_T(spark, SF_DIR, "documents"), k=128), k=128, bands=16
+    ).count()
+    out["dedup_minhash_lsh_prod"] = round(time.time() - t0, 3)
+    return {"queries": out, "minhash_prod_pairs": n_pairs}
 
 
 def materialize_origin(spark, corpus, path: str, n_parts: int = 64) -> None:
@@ -139,25 +162,14 @@ def materialize_origin(spark, corpus, path: str, n_parts: int = 64) -> None:
     )
 
 
-def crawl_round_throughput(
-    spark, n_cores: int, bodies_path: str, layout_cores: int | None = None
-) -> dict:
-    """One steady-state crawl round: schedule→fetch→parse→dedup→commit over
-    a CRAWL_FRONTIER-deep frontier. Returns URLs/sec (fetched+deduped).
-
-    `layout_cores` fixes the JOB LAYOUT (partition counts, bloom buckets)
-    independently of the session's core count. The scaling-efficiency pair
-    must run the IDENTICAL job at both parallelism levels — on a real
-    cluster you change the executor count, not the job — so both scale
-    phases pass layout_cores = the 4N level."""
-    import numpy as np
-    import pandas as pd
-
+def _init_bench_crawl(spark, n_cores: int, bodies_path: str, layout: int):
+    """Shared untimed setup for the crawl phases: warm worker pool, build
+    the pre-filled frontier + seen + bloom + policy in a temp catalog.
+    Returns (cat, cfg)."""
     from pyspark.sql import functions as F
     from gpse import crawl, frontier, robots, seen as seen_mod, synth
     from gpse.catalog import Catalog
 
-    layout = layout_cores or n_cores
     corpus = synth.CorpusCfg(n_pages=CRAWL_N_PAGES, n_hosts=CRAWL_N_HOSTS, seed=42)
     cfg = crawl.CrawlCfg(
         corpus=corpus,
@@ -174,8 +186,6 @@ def crawl_round_throughput(
     # untimed warmup: fork/warm the Python worker pool and JIT the codegen
     # paths so the timed round measures steady-state (a long-lived cluster's
     # workers are always warm)
-    import pandas as _pd
-
     spark.range(0, 10_000, 1, n_cores).mapInPandas(
         lambda it: (b for b in it), "id long"
     ).count()
@@ -201,13 +211,66 @@ def crawl_round_throughput(
         "budget_per_round", F.lit(CRAWL_BUDGET)
     )
     cat.commit("host_policy", policy, 0, mode="overwrite")
+    return cat, cfg
 
-    stats = crawl.run_round(spark, cat, cfg, 0)
+
+def _round_summary(stats: dict) -> dict:
     return {
         "n_scheduled": stats["n_scheduled"],
         "n_new_urls": stats["n_new_urls"],
         "wall_s": round(stats["wall_s"], 3),
         "urls_per_s": round(stats["urls_per_s"], 1),
+        "stage_s": stats.get("stage_s", {}),
+    }
+
+
+def crawl_round_throughput(
+    spark, n_cores: int, bodies_path: str, layout_cores: int | None = None
+) -> dict:
+    """One steady-state crawl round: schedule→fetch→parse→dedup→commit over
+    a CRAWL_FRONTIER-deep frontier. Returns URLs/sec (fetched+deduped).
+
+    `layout_cores` fixes the JOB LAYOUT (partition counts, bloom buckets)
+    independently of the session's core count. The scaling-efficiency pair
+    must run the IDENTICAL job at both parallelism levels — on a real
+    cluster you change the executor count, not the job — so both scale
+    phases pass layout_cores = the 4N level."""
+    from gpse import crawl
+
+    cat, cfg = _init_bench_crawl(spark, n_cores, bodies_path, layout_cores or n_cores)
+    return _round_summary(crawl.run_round(spark, cat, cfg, 0))
+
+
+def steady_state_rounds(spark, n_cores: int, bodies_path: str, n_rounds: int = 3) -> dict:
+    """N consecutive crawl rounds in ONE catalog (VERDICT r02 #2): the
+    timed path exercises what a long crawl actually does — bloom OR-merge
+    per round, budget-deferred carry-over, append-chain growth — with
+    catalog maintenance interleaved: after every non-final round the slim
+    append-chain tables (frontier, seen_exact) are compacted and
+    seen_bloom's superseded overwrite snapshots expired. Pages (the html
+    table) is deliberately NOT compacted inline — at 100 TB that rewrite
+    is an async maintenance job, never part of the round loop.
+
+    Returns per-round summaries + per-maintenance walls; the check is that
+    round N+1 costs what round N did (no round-over-round degradation)."""
+    from gpse import crawl
+
+    cat, cfg = _init_bench_crawl(spark, n_cores, bodies_path, n_cores)
+    rounds, maint = [], []
+    for r in range(n_rounds):
+        rounds.append(_round_summary(crawl.run_round(spark, cat, cfg, r)))
+        if r < n_rounds - 1:
+            t0 = time.time()
+            cat.compact(spark, "frontier")
+            cat.compact(spark, "seen_exact")
+            cat.expire_snapshots("seen_bloom", keep_last=1)
+            maint.append(round(time.time() - t0, 3))
+    total_sched = sum(x["n_scheduled"] for x in rounds)
+    total_wall = sum(x["wall_s"] for x in rounds)
+    return {
+        "rounds": rounds,
+        "maintenance_s": maint,
+        "urls_per_s_overall": round(total_sched / total_wall, 1) if total_wall else 0.0,
     }
 
 
@@ -252,6 +315,9 @@ def _phase_main(phase: str, cores: int, layout: int = 0) -> None:
             lambda it: (b for b in it), "id long"
         ).count()  # warm the worker pool
         out = runtime_ceiling_probe(spark, cores)
+    elif phase == "steady":
+        spark = _session(f"local[{cores}]", max(cores * 2, 8))
+        out = steady_state_rounds(spark, cores, _bodies_path(), n_rounds=3)
     else:
         lay = layout or cores
         spark = _session(f"local[{cores}]", max(lay * 2, 8))
@@ -330,12 +396,35 @@ def runtime_ceiling_probe(spark, n_cores: int) -> dict:
     return out
 
 
+def _stage_weights(stage_s: dict, wall_s: float) -> dict:
+    """Map the measured per-stage walls of a crawl round onto the three
+    probe workload classes (evidence for the box-ceiling composite —
+    ADVICE r02 asked that the weights not be hand-picked). The pages
+    commit is Arrow-Python-dominated (fetch+parse+extract+write); the
+    dedup/frontier/seen/bloom commits are JVM shuffle/agg; everything
+    else (metrics, counts, scheduling residual) is scan/fixed."""
+    pages = stage_s.get("pages commit (fetch+parse+extract+write)", 0.0)
+    agg = sum(
+        v for k, v in stage_s.items()
+        if k.startswith(("dedup", "seen", "bloom"))
+    )
+    scan = max(wall_s - pages - agg, 0.0)
+    total = max(pages + agg + scan, 1e-9)
+    return {
+        "arrow_py": round(pages / total, 3),
+        "jvm_agg": round(agg / total, 3),
+        "scan": round(scan / total, 3),
+    }
+
+
 def main() -> None:
     results: dict = {"sf": SF_DIR, "unit": "sec"}
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
 
-    qtimes = _run_phase("headline")
+    headline = _run_phase("headline")
+    qtimes = headline["queries"]
     crawl_hi = _best_of("crawl", CPUS, max(repeats, 3))  # ~1 min/run: cheap insurance on the headline number
+    steady = _run_phase("steady", CPUS)
 
     crawl_n = crawl_4n = None
     eff_pairs: list[float] = []
@@ -345,21 +434,19 @@ def main() -> None:
         # executors to a fixed job on a cluster. Efficiency is computed
         # per TIME-ADJACENT pair (a 4N run immediately followed by an N
         # run shares the machine's load state; mixing runs from different
-        # states makes the ratio meaningless on this noisy VM), then the
-        # best pair is reported alongside all pairs.
-        # Adaptive repeats: transient external load on this shared VM only
-        # ever *lowers* a pair's ratio (noise is strictly additive), so keep
-        # measuring until a pair clears the criterion with margin, up to a
-        # cap; every measured pair is still reported.
+        # states makes the ratio meaningless on this noisy VM). A FIXED,
+        # pre-declared pair count runs — no adaptive stopping rule (ADVICE
+        # r02: stop-at-pass biases the estimate). The headline is the
+        # MIN-WALL pair — external load on this shared VM is strictly
+        # additive, so the min wall at each level is the closest to the
+        # machine's true capability; the median and all pairs are reported
+        # with it.
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
         pairs = []
-        max_pairs = int(os.environ.get("SPARK_GRAFT_MAX_PAIRS", "4"))
-        for _ in range(max(repeats, max_pairs)):
+        for _ in range(n_pairs):
             t4 = _run_phase("crawl", SCALE_4N, layout=SCALE_4N)
             t1 = _run_phase("crawl", SCALE_N, layout=SCALE_4N)
             pairs.append((t1, t4))
-            best = max((p[0]["wall_s"] / p[1]["wall_s"]) / 4 for p in pairs)
-            if best >= 0.82:
-                break
         crawl_4n = min((p[1] for p in pairs), key=lambda r: r["wall_s"])
         crawl_n = min((p[0] for p in pairs), key=lambda r: r["wall_s"])
         eff_pairs = [round((p[0]["wall_s"] / p[1]["wall_s"]) / 4, 3) for p in pairs]
@@ -374,25 +461,34 @@ def main() -> None:
         f"urls_per_s_local{CPUS}": crawl_hi["urls_per_s"],
         "n_scheduled": crawl_hi["n_scheduled"],
         "n_new_urls": crawl_hi["n_new_urls"],
+        "minhash_prod_pairs": headline.get("minhash_prod_pairs"),
+        "steady_state": steady,
     }
     if crawl_n and crawl_4n:
+        import statistics
+
         queries[f"crawl_round_local{SCALE_N}"] = crawl_n["wall_s"]
         queries[f"crawl_round_local{SCALE_4N}"] = crawl_4n["wall_s"]
+        eff_minwall = round((crawl_n["wall_s"] / crawl_4n["wall_s"]) / 4, 3)
         crawl_info[f"urls_per_s_local{SCALE_N}"] = crawl_n["urls_per_s"]
         crawl_info[f"urls_per_s_local{SCALE_4N}"] = crawl_4n["urls_per_s"]
-        crawl_info[f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}"] = max(eff_pairs)
+        crawl_info[f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}"] = eff_minwall
+        crawl_info["scaling_efficiency_median_pair"] = round(
+            statistics.median(eff_pairs), 3
+        )
         crawl_info["scaling_efficiency_pairs"] = eff_pairs
         ceil = {
             k: round((probe_n[f"{k}_s"] / probe_4n[f"{k}_s"]) / 4, 3)
             for k in ("jvm_agg", "arrow_py", "scan")
         }
-        # round composition from the per-stage timings (GPSE_TIMING):
-        # fetch+parse+extract+write (Arrow-Python-dominated) ~0.6 of wall,
-        # dedup/frontier shuffles (JVM agg/joins) ~0.3, scans/commits ~0.1
-        composite = round(0.6 * ceil["arrow_py"] + 0.3 * ceil["jvm_agg"] + 0.1 * ceil["scan"], 3)
+        # composite ceiling weighted by the MEASURED stage mix of the 4N
+        # crawl run itself (stage_s breakdown), not hand-picked weights
+        w = _stage_weights(crawl_4n.get("stage_s", {}), crawl_4n["wall_s"])
+        composite = round(sum(w[k] * ceil[k] for k in ceil), 3)
         crawl_info["box_scaling_ceiling"] = ceil
+        crawl_info["box_scaling_ceiling_weights"] = w
         crawl_info["box_scaling_ceiling_composite"] = composite
-        crawl_info["scaling_efficiency_normalized"] = round(max(eff_pairs) / composite, 3)
+        crawl_info["scaling_efficiency_normalized"] = round(eff_minwall / composite, 3)
 
     results.update(
         {
@@ -439,10 +535,16 @@ def _write_baseline_md(r: dict) -> None:
             f"**Scaling efficiency local[{SCALE_N}] → local[{SCALE_4N}] "
             f"(N → 4N cores, the task brief's sandbox proxy for N → 4N "
             f"executors): {c[eff_key]}** (target ≥ 0.8, BASELINE.json). "
-            f"All time-adjacent pairs: {c.get('scaling_efficiency_pairs')} — "
-            "each pair runs the IDENTICAL job layout (partitions, bloom "
-            "buckets fixed at the 4N level) back-to-back so the ratio is "
-            "taken under one machine-load state.",
+            f"Protocol (pre-declared, no adaptive stopping): a FIXED "
+            f"number of time-adjacent pairs runs; the headline is the "
+            f"MIN-WALL pair — external load on this shared VM is strictly "
+            f"additive, so the minimum wall at each level is the closest "
+            f"estimate of true capability. Median pair: "
+            f"{c.get('scaling_efficiency_median_pair')}; all pairs: "
+            f"{c.get('scaling_efficiency_pairs')} — each pair runs the "
+            "IDENTICAL job layout (partitions, bloom buckets fixed at the "
+            "4N level) back-to-back so the ratio is taken under one "
+            "machine-load state.",
             "",
             "### Box ceiling and engine-normalized efficiency",
             "",
@@ -450,11 +552,12 @@ def _write_baseline_md(r: dict) -> None:
             "local mode (shared heap/GC; per-core throughput drops as more "
             "cores go busy). Trivial fixed-overhead probes measured at the "
             f"same two levels give the per-class ceilings: {c.get('box_scaling_ceiling')} "
-            f"→ composite ceiling {c.get('box_scaling_ceiling_composite')} for the round's "
-            "stage mix (≈0.6 Arrow-Python fetch/parse, 0.3 JVM shuffle "
-            "dedup/frontier, 0.1 scans — weights from GPSE_TIMING stage "
-            "breakdowns). The ENGINE's scaling efficiency normalized to "
-            f"what this box allows: **{c.get('scaling_efficiency_normalized')}** (≥1 means the "
+            f"→ composite ceiling {c.get('box_scaling_ceiling_composite')} weighted by the "
+            f"MEASURED stage mix of the 4N crawl run itself "
+            f"({c.get('box_scaling_ceiling_weights')} from the run's stage_s "
+            "breakdown — not hand-picked). The ENGINE's scaling efficiency "
+            "normalized to what this box allows: "
+            f"**{c.get('scaling_efficiency_normalized')}** (≥1 means the "
             "engine scales at least as well as the box's own probe ceiling; "
             "probe noise can push it above 1) — the engine adds almost no "
             "scaling loss beyond the box; on a real cluster "
@@ -472,6 +575,39 @@ def _write_baseline_md(r: dict) -> None:
             "single-box proxy for multiplying executors, each of which "
             "brings its own memory bandwidth on a real cluster. The "
             "local[32] row above is the absolute-throughput headline.",
+        ]
+    ss = c.get("steady_state")
+    if ss:
+        lines += [
+            "",
+            "## Multi-round steady state (3 consecutive rounds, one catalog)",
+            "",
+            "Bloom OR-merge, budget-deferred carry-over and append-chain "
+            "growth all exercised; frontier/seen_exact compacted and "
+            "seen_bloom snapshots expired between rounds (pages compaction "
+            "is an async maintenance job at scale, not part of the loop):",
+            "",
+            "| round | scheduled | new URLs | wall s | URLs/s |",
+            "| --- | --- | --- | --- | --- |",
+        ]
+        for i, rr in enumerate(ss["rounds"]):
+            lines.append(
+                f"| {i} | {rr['n_scheduled']} | {rr['n_new_urls']} | "
+                f"{rr['wall_s']} | {rr['urls_per_s']} |"
+            )
+        lines += [
+            "",
+            f"Overall: **{ss['urls_per_s_overall']} URLs/s** across the loop; "
+            f"inter-round maintenance (compact frontier+seen_exact, expire "
+            f"seen_bloom): {ss['maintenance_s']} s.",
+        ]
+    if c.get("minhash_prod_pairs") is not None:
+        lines += [
+            "",
+            f"Production-parameter MinHash+LSH (K=128, 16 bands) at sf0.1: "
+            f"{r['queries'].get('dedup_minhash_lsh_prod')} s, "
+            f"{c['minhash_prod_pairs']} candidate pairs (the correctness "
+            "gate separately value-checks the same code at oracle knobs).",
         ]
     lines += ["", "## Headline query times (sec)", ""]
     for k, v in r["queries"].items():

@@ -51,6 +51,10 @@ class CrawlCfg:
     n_bloom_buckets: int = 32
     bloom_bits: int = 1 << 20   # fixed per-bucket bits → OR-mergeable blobs
     use_bloom: bool = True
+    # pre-filter family: 'bloom' (default; smallest blobs) or 'cuckoo'
+    # (deletion-capable — gpse/cuckoo.py; same probe paths, same contract)
+    seen_filter: str = "bloom"
+    cuckoo_nbuckets: int = 1 << 18  # fixed per-blob buckets → mergeable
     # blobs beyond this switch from driver-broadcast probing to the
     # bucket-local cogroup probe (SCALE.md: ~15 GB of blobs at 10^10 URLs)
     bloom_broadcast_max_bytes: int = 64 << 20
@@ -78,7 +82,10 @@ def init_crawl(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, seeds=None, see
     seen0 = f0.select("url_hash", F.lit(0).cast("int").alias("first_round"))
     cat.commit("seen_exact", seen0, 0, mode="append")
     if cfg.use_bloom:
-        blooms0 = seen_mod.build_blooms(seen0, cfg.n_bloom_buckets, nbits=cfg.bloom_bits)
+        blooms0 = seen_mod.build_filters(
+            seen0, cfg.n_bloom_buckets, kind=cfg.seen_filter,
+            nbits=cfg.bloom_bits, cuckoo_nb=cfg.cuckoo_nbuckets,
+        )
         cat.commit("seen_bloom", blooms0, 0, mode="overwrite")
     f0.unpersist()
     policy = robots_mod.build_host_policy(synth.gen_robots(spark, cfg.corpus))
@@ -86,17 +93,23 @@ def init_crawl(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, seeds=None, see
 
 
 @contextmanager
-def _t(label: str):
-    """Per-action wall timing, printed when GPSE_TIMING=1 (perf triage)."""
+def _t(label: str, sink: dict | None = None):
+    """Per-action wall timing: printed when GPSE_TIMING=1 (perf triage) and
+    recorded into `sink` when given (bench stage breakdowns)."""
     t0 = time.time()
     yield
+    dt = time.time() - t0
+    if sink is not None:
+        sink[label] = round(sink.get(label, 0.0) + dt, 3)
     if os.environ.get("GPSE_TIMING") == "1":
-        print(f"[gpse-timing] {label}: {time.time() - t0:.1f}s", flush=True)
+        print(f"[gpse-timing] {label}: {dt:.1f}s", flush=True)
 
 
 def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) -> dict:
-    """Execute crawl round `round_n`; returns the round's summary metrics."""
+    """Execute crawl round `round_n`; returns the round's summary metrics
+    (including a per-stage wall breakdown, `stage_s`)."""
     t0 = time.time()
+    stages: dict = {}
     fr = cat.load(spark, "frontier", round_n).filter(F.col("round") == round_n)
     policy = cat.load(spark, "host_policy")
     seen = cat.load(spark, "seen_exact", round_n)
@@ -154,7 +167,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     # action itself (zero extra scans); cross-checked against the
     # per-partition metrics table below
     log, obs = metrics_mod.observe_fetch(log)
-    with _t("pages commit (fetch+parse+extract+write)"):
+    with _t("pages commit (fetch+parse+extract+write)", stages):
         cat.commit("pages", log, round_n, mode="append")
     observed = obs.get
     pl = cat.load_delta(spark, "pages", round_n)
@@ -174,10 +187,16 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     # dedup_new_urls reduces per-URL attributes deterministically (min depth,
     # min src_url_hash) BEFORE the seen anti-join — a url discovered from
     # several sources keeps a partition-layout-independent (depth, src)
+    # fixed-shape blobs → statically known total size, no measuring job
+    if cfg.seen_filter == "cuckoo":
+        from gpse import cuckoo as _ck
+
+        blob_hint = cfg.n_bloom_buckets * cfg.cuckoo_nbuckets * _ck.SLOTS * 2
+    else:
+        blob_hint = cfg.n_bloom_buckets * (cfg.bloom_bits // 8)
     new_urls = seen_mod.dedup_new_urls(
         cands, seen, blooms, cfg.n_bloom_buckets, cfg.bloom_broadcast_max_bytes,
-        # fixed-nbits blobs → statically known size, no measuring job
-        blob_bytes_hint=cfg.n_bloom_buckets * (cfg.bloom_bits // 8),
+        blob_bytes_hint=blob_hint,
     )
 
     # carry-over: budget/batch-overflow rows stay queued — re-enqueued for
@@ -196,20 +215,21 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         new_seen = new_part.select(
             "url_hash", F.lit(round_n + 1).cast("int").alias("first_round")
         )
-        with _t("dedup + frontier commit"):
+        with _t("dedup + frontier commit", stages):
             cat.commit("frontier", next_frontier, round_n + 1, mode="append")
-        with _t("seen commit"):
+        with _t("seen commit", stages):
             cat.commit("seen_exact", new_seen, round_n + 1, mode="append")
         if cfg.use_bloom:
-            # incremental: O(new URLs) delta blobs OR-merged into the carried
-            # blobs (never a full seen-set rebuild)
-            delta = seen_mod.build_blooms(
-                new_seen, cfg.n_bloom_buckets, nbits=cfg.bloom_bits
+            # incremental: O(new URLs) delta blobs folded into the carried
+            # blobs (bloom OR / cuckoo re-insert — never a full rebuild)
+            delta = seen_mod.build_filters(
+                new_seen, cfg.n_bloom_buckets, kind=cfg.seen_filter,
+                nbits=cfg.bloom_bits, cuckoo_nb=cfg.cuckoo_nbuckets,
             )
-            with _t("bloom delta+merge commit"):
+            with _t("bloom delta+merge commit", stages):
                 cat.commit(
                     "seen_bloom",
-                    seen_mod.merge_blooms(blooms, delta),
+                    seen_mod.merge_filters(blooms, delta),
                     round_n + 1,
                     mode="overwrite",
                 )
@@ -218,7 +238,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         # collect, commit the local rows (a trivial write) and sum in the
         # driver — no second scan of the metrics table
         mlocal = metrics_mod.round_metrics(pl, round_n).collect()
-        with _t("metrics commit"):
+        with _t("metrics commit", stages):
             cat.commit(
                 "metrics",
                 spark.createDataFrame(mlocal, metrics_mod.METRICS_SCHEMA),
@@ -226,7 +246,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
                 mode="append",
             )
         n_fetched = sum(r["n_fetched"] for r in mlocal)
-        with _t("n_new count"):
+        with _t("n_new count", stages):
             n_new = new_part.count()  # cached by the frontier commit
     finally:
         new_part.unpersist()
@@ -239,6 +259,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         "n_scheduled": n_fetched,
         "n_new_urls": n_new,
         "observed": observed,  # df.observe counters from the pages write
+        "stage_s": stages,
         "wall_s": wall,
         "urls_per_s": (n_fetched / wall) if wall > 0 else 0.0,
     }

@@ -31,6 +31,9 @@ from pyspark.sql.types import BooleanType
 
 SEEN_SCHEMA = "url_hash long, first_round int"
 BLOOM_SCHEMA = "bucket int, nbits long, nhashes int, bits binary"
+# cuckoo blobs (gpse/cuckoo.py): nb buckets × 4 slots of 16-bit
+# fingerprints + an exact-fp stash; deletion-capable, mergeable at fixed nb
+CUCKOO_SCHEMA = "bucket int, nbuckets long, tbl binary, stash binary"
 
 _C1 = np.uint64(0xFF51AFD7ED558CCD)
 _C2 = np.uint64(0xC4CEB9FE1A85EC53)
@@ -96,6 +99,81 @@ def build_blooms(
         .groupBy("bucket")
         .applyInPandas(make, schema=BLOOM_SCHEMA)
     )
+
+
+def build_cuckoos(seen: DataFrame, n_buckets: int = 32, nb: int = 1 << 18) -> DataFrame:
+    """One cuckoo-filter blob per url_hash bucket (the deletion-capable
+    seen pre-filter; same bucketing as the blooms so the probe paths are
+    shared). `nb` (power of two) fixes each blob's bucket count so blobs
+    stay mergeable across rounds — the analogue of the blooms' fixed
+    nbits. Default 2^18 × 4 slots ≈ 1M fingerprints per blob at 2 MiB."""
+    from gpse import cuckoo
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+        tbl, stash = cuckoo.build(keys, nb)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "nbuckets": [nb],
+                "tbl": [tbl.tobytes()],
+                "stash": [stash.tobytes()],
+            }
+        )
+
+    return (
+        seen.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(make, schema=CUCKOO_SCHEMA)
+    )
+
+
+def merge_cuckoos(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold per-bucket cuckoo blobs (the incremental per-round merge — the
+    cuckoo analogue of the blooms' OR; gpse/cuckoo.py re-inserts the delta
+    blob's (bucket, fp) entries, recoverable via the XOR trick)."""
+    from gpse import cuckoo
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        nb = int(pdf["nbuckets"].iloc[0])
+        tbl, stash = None, None
+        for _, r in pdf.iterrows():
+            t = np.frombuffer(r["tbl"], dtype=np.uint16).reshape(nb, cuckoo.SLOTS)
+            s = np.frombuffer(r["stash"], dtype=np.uint16)
+            if tbl is None:
+                tbl, stash = t.copy(), s.copy()
+            else:
+                tbl, stash = cuckoo.merge(tbl, stash, t, s)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "nbuckets": [nb],
+                "tbl": [tbl.tobytes()],
+                "stash": [stash.tobytes()],
+            }
+        )
+
+    return old.unionByName(delta).groupBy("bucket").applyInPandas(fold, schema=CUCKOO_SCHEMA)
+
+
+def is_cuckoo_blobs(blobs: DataFrame) -> bool:
+    return "tbl" in blobs.columns
+
+
+def build_filters(
+    seen: DataFrame, n_buckets: int, kind: str = "bloom",
+    nbits: int | None = None, cuckoo_nb: int = 1 << 18,
+) -> DataFrame:
+    """Build the configured seen pre-filter family (CrawlCfg.seen_filter)."""
+    if kind == "cuckoo":
+        return build_cuckoos(seen, n_buckets, nb=cuckoo_nb)
+    return build_blooms(seen, n_buckets, nbits=nbits)
+
+
+def merge_filters(old: DataFrame, delta: DataFrame) -> DataFrame:
+    if is_cuckoo_blobs(old):
+        return merge_cuckoos(old, delta)
+    return merge_blooms(old, delta)
 
 
 def merge_blooms(old: DataFrame, delta: DataFrame) -> DataFrame:
@@ -181,25 +259,44 @@ def dedup_new_urls(
     if blob_bytes_hint is not None:
         total_bytes = blob_bytes_hint
     else:
-        total_bytes = (
-            blooms.agg(F.sum(F.length("bits")).alias("b")).collect()[0]["b"] or 0
+        sz = (
+            F.length("tbl") + F.length("stash")
+            if is_cuckoo_blobs(blooms)
+            else F.length("bits")
         )
+        total_bytes = blooms.agg(F.sum(sz).alias("b")).collect()[0]["b"] or 0
     if total_bytes > max_broadcast_bytes:
         return _dedup_bucket_probe(cand, seen, blooms, n_buckets)
 
     spark = candidates.sparkSession
-    blob_map = {
-        int(r["bucket"]): (
-            int(r["nbits"]),
-            int(r["nhashes"]),
-            np.frombuffer(r["bits"], dtype=np.uint8),
-        )
-        for r in blooms.collect()
-    }
+    cuckoo_kind = is_cuckoo_blobs(blooms)
+    if cuckoo_kind:
+        from gpse import cuckoo as _ck
+
+        blob_map = {
+            int(r["bucket"]): (
+                np.frombuffer(r["tbl"], dtype=np.uint16).reshape(
+                    int(r["nbuckets"]), _ck.SLOTS
+                ),
+                np.frombuffer(r["stash"], dtype=np.uint16),
+            )
+            for r in blooms.collect()
+        }
+    else:
+        blob_map = {
+            int(r["bucket"]): (
+                int(r["nbits"]),
+                int(r["nhashes"]),
+                np.frombuffer(r["bits"], dtype=np.uint8),
+            )
+            for r in blooms.collect()
+        }
     bc = spark.sparkContext.broadcast(blob_map)
 
     @pandas_udf(BooleanType())
     def maybe_seen(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if cuckoo_kind:
+            from gpse import cuckoo as ck
         blobs = bc.value
         for uh in it:
             keys = uh.to_numpy(dtype=np.int64)
@@ -209,7 +306,9 @@ def dedup_new_urls(
                 m = buckets == b
                 entry = blobs.get(int(b))
                 if entry is None:
-                    out[m] = False  # empty bucket bloom → definitely new
+                    out[m] = False  # empty bucket filter → definitely new
+                elif cuckoo_kind:
+                    out[m] = ck.query(keys[m], entry[0], entry[1])
                 else:
                     out[m] = _bloom_test(keys[m], entry[0], entry[1], entry[2])
             yield pd.Series(out, dtype=bool)
@@ -251,9 +350,18 @@ def _dedup_bucket_probe(
         maybe = np.zeros(len(keys), dtype=bool)
         # several blob rows per bucket can exist mid-merge: a key is
         # maybe-seen if ANY blob reports it (OR keeps zero false negatives)
-        for _, r in bdf.iterrows():
-            bits = np.frombuffer(r["bits"], dtype=np.uint8)
-            maybe |= _bloom_test(keys, int(r["nbits"]), int(r["nhashes"]), bits)
+        if "tbl" in bdf.columns:  # cuckoo blobs
+            from gpse import cuckoo as ck
+
+            for _, r in bdf.iterrows():
+                tbl = np.frombuffer(r["tbl"], dtype=np.uint16).reshape(
+                    int(r["nbuckets"]), ck.SLOTS
+                )
+                maybe |= ck.query(keys, tbl, np.frombuffer(r["stash"], dtype=np.uint16))
+        else:
+            for _, r in bdf.iterrows():
+                bits = np.frombuffer(r["bits"], dtype=np.uint8)
+                maybe |= _bloom_test(keys, int(r["nbits"]), int(r["nhashes"]), bits)
         out["_maybe"] = maybe
         return out
 

@@ -40,6 +40,28 @@ def test_ivf_deterministic(spark):
     assert a == b
 
 
+def test_ivf_probe_cells_matches_numpy(spark):
+    """The in-plan nprobe cell selection (literal centroids, zip_with
+    distance, array_sort) must agree with a straight numpy argsort over
+    the same centroids — the r2 driver-loop behavior it replaced."""
+    import numpy as np
+
+    from gpse.pipeline import ivf_probe_cells
+
+    rng = np.random.RandomState(3)
+    centers = [[float(x) for x in rng.randn(8)] for _ in range(6)]
+    qs = [(i, [float(x) for x in rng.randn(8)]) for i in range(10)]
+    df = spark.createDataFrame(qs, "query_id long, qvec array<double>")
+    got = {}
+    for r in ivf_probe_cells(df, centers, nprobe=3).collect():
+        got.setdefault(r.query_id, []).append(r.cell)
+    c = np.asarray(centers)
+    for qid, qv in qs:
+        d = ((c - np.asarray(qv)) ** 2).sum(axis=1)
+        want = [int(x) for x in np.argsort(d, kind="stable")[:3]]
+        assert got[qid] == want, (qid, got[qid], want)
+
+
 def test_lsh_pairs_subset_of_bruteforce_threshold(spark):
     """Every LSH-bucketed match must be a true ≥-threshold pair (no false
     positives — LSH trades recall, never precision, given exact rescoring)."""
