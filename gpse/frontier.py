@@ -10,7 +10,9 @@ north_star):
   → broadcast join host_policy (robots rules + crawl delay + budget)
   → robots path filter (vectorized matcher)
   → per-host row_number ≤ budget_per_round          (politeness AT PLAN LEVEL)
-  → global orderBy(priority, url_hash) limit(batch) (priority-queue pop)
+  → priority-queue pop: global top-k by (priority, url_hash) — TakeOrdered
+    for small k, the distributed exact threshold cut for large k
+    (_distributed_cap: no driver merge of k rows)
   → repartition(P, host, salt)                      (salted skew break)
   → sortWithinPartitions(host, priority, url_hash)  (stable fetch order)
 
