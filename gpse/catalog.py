@@ -243,7 +243,7 @@ class IcebergCatalog:
         snapshots invisible, matching the parquet Catalog's manifest
         semantics."""
         rows = self.spark.sql(
-            f"SELECT snapshot_id, parent_id, committed_at, "
+            f"SELECT snapshot_id, parent_id, committed_at, operation, "
             f"summary['gpse-round'] AS r FROM {self._tbl(name)}.snapshots "
             f"ORDER BY committed_at"
         ).collect()
@@ -259,16 +259,31 @@ class IcebergCatalog:
                 p = by_id[cur].parent_id
                 cur = None if p is None else str(p)
             rows = [x for x in rows if str(x.snapshot_id) in ancestors]
-        return [
-            {
-                "table": name,
-                "round": int(x.r) if x.r is not None else -1,
-                "snapshot_id": str(x.snapshot_id),
-                "parent_id": None if x.parent_id is None else str(x.parent_id),
-                "committed_ts": x.committed_at.timestamp(),
-            }
-            for x in rows
-        ]
+        out: list[dict] = []
+        rounds: dict[str, int] = {}
+        for x in rows:
+            sid = str(x.snapshot_id)
+            pid = None if x.parent_id is None else str(x.parent_id)
+            if x.r is not None:
+                rnd = int(x.r)
+            else:
+                # maintenance snapshot (rewrite_data_files 'replace' etc.):
+                # same logical rows as its parent → inherit the round, and
+                # flag it so load_delta skips it (the parquet Catalog's
+                # `compaction` tag, mirrored)
+                rnd = rounds.get(pid, -1) if pid else -1
+            rounds[sid] = rnd
+            out.append(
+                {
+                    "table": name,
+                    "round": rnd,
+                    "snapshot_id": sid,
+                    "parent_id": pid,
+                    "committed_ts": x.committed_at.timestamp(),
+                    "compaction": x.r is None,
+                }
+            )
+        return out
 
     # ---- public API (mirrors Catalog) ---------------------------------
     def commit(self, name: str, df: DataFrame, round: int, mode: str = "overwrite") -> str:
@@ -294,7 +309,10 @@ class IcebergCatalog:
         return spark.read.option("snapshot-id", cand[-1]["snapshot_id"]).table(t)
 
     def load_delta(self, spark: SparkSession, name: str, round: int) -> DataFrame:
-        cand = [s for s in self._snaps(name) if s["round"] == round]
+        cand = [
+            s for s in self._snaps(name)
+            if s["round"] == round and not s.get("compaction")
+        ]
         if not cand:
             raise KeyError(f"no delta commit for table {name!r} at round {round}")
         s = cand[-1]
@@ -329,6 +347,32 @@ class IcebergCatalog:
                     f"('{self.ns}.{name}', {kept[-1]['snapshot_id']})"
                 )
         return dropped
+
+    def compact(self, spark: SparkSession, name: str, target_partitions: int | None = None) -> str:
+        """Iceberg's rewrite_data_files — the 1:1 mapping of
+        Catalog.compact (small-file folding; the steady-state crawl loop
+        calls this between rounds). target_partitions maps onto a target
+        file size only loosely; Iceberg's own bin-packing decides."""
+        self.spark.sql(
+            f"CALL {self.cat}.system.rewrite_data_files('{self.ns}.{name}')"
+        )
+        snaps = self._snaps(name)
+        return snaps[-1]["snapshot_id"] if snaps else ""
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
+        """Iceberg's expire_snapshots — drop all but the newest
+        `keep_last` ancestor snapshots and delete unreferenced files
+        (the 1:1 mapping of Catalog.expire_snapshots)."""
+        snaps = self._snaps(name)
+        drop = snaps[:-keep_last] if keep_last > 0 else snaps
+        if not drop:
+            return 0
+        rows = self.spark.sql(
+            f"CALL {self.cat}.system.expire_snapshots("
+            f"table => '{self.ns}.{name}', "
+            f"snapshot_ids => ARRAY({', '.join(s['snapshot_id'] for s in drop)}))"
+        ).collect()
+        return int(rows[0][0]) if rows else len(drop)
 
     def exists(self, name: str) -> bool:
         return self.spark.catalog.tableExists(self._tbl(name))

@@ -55,6 +55,10 @@ class CrawlCfg:
     # (deletion-capable — gpse/cuckoo.py; same probe paths, same contract)
     seen_filter: str = "bloom"
     cuckoo_nbuckets: int = 1 << 18  # fixed per-blob buckets → mergeable
+    # fetch pacing (synthetic-origin path): 'simulated' stamps the
+    # politeness clock without sleeping (deterministic, benchable);
+    # 'wall' additionally sleeps each fetch to its due-time (live crawls)
+    fetch_pacing: str = "simulated"
     # blobs beyond this switch from driver-broadcast probing to the
     # bucket-local cogroup probe (SCALE.md: ~15 GB of blobs at 10^10 URLs)
     bloom_broadcast_max_bytes: int = 64 << 20
@@ -137,7 +141,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
             max_broadcast_bytes=cfg.fetch_broadcast_max_bytes,
         )
     else:
-        fetched = fetch_mod.fetch(sched, cfg.corpus)
+        fetched = fetch_mod.fetch(sched, cfg.corpus, pacing=cfg.fetch_pacing)
     parsed = parse_extract(fetched)
     # The round's fetch log IS the pages table (extended schema: the
     # input_hint columns url/warc_ts/html/text/lang first, then engine

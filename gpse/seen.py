@@ -160,6 +160,53 @@ def is_cuckoo_blobs(blobs: DataFrame) -> bool:
     return "tbl" in blobs.columns
 
 
+def remove_from_filters(blobs: DataFrame, keys: DataFrame, n_buckets: int) -> DataFrame:
+    """URL-expiry over the cuckoo pre-filter (the capability the cuckoo
+    option exists for): delete `keys` (a DataFrame with `url_hash`) from
+    the per-bucket blobs, DISTRIBUTED — keys cogroup with their bucket's
+    blob on pmod(url_hash, P), each task deletes its bucket's keys
+    in-place and emits the updated blob. No driver collect of either side.
+
+    Only delete keys that were actually inserted (the standard cuckoo
+    caveat — gpse/cuckoo.py); the companion exact-layer expiry is a plain
+    left_anti on seen_exact, so correctness never depends on this blob
+    surgery. Bloom blobs cannot delete → ValueError (rebuild instead)."""
+    if not is_cuckoo_blobs(blobs):
+        raise ValueError(
+            "bloom blobs do not support deletion — rebuild via build_blooms, "
+            "or use CrawlCfg.seen_filter='cuckoo'"
+        )
+    from gpse import cuckoo as _ck
+
+    kb = keys.select(
+        "url_hash", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket")
+    )
+
+    def drop(key, kdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if bdf.empty:
+            return pd.DataFrame(columns=["bucket", "nbuckets", "tbl", "stash"])
+        r = bdf.iloc[0]
+        nb = int(r["nbuckets"])
+        tbl = np.frombuffer(r["tbl"], dtype=np.uint16).reshape(nb, _ck.SLOTS).copy()
+        stash = np.frombuffer(r["stash"], dtype=np.uint16)
+        if not kdf.empty:
+            stash, _ = _ck.delete(kdf["url_hash"].to_numpy(dtype=np.int64), tbl, stash)
+        return pd.DataFrame(
+            {
+                "bucket": [int(r["bucket"])],
+                "nbuckets": [nb],
+                "tbl": [tbl.tobytes()],
+                "stash": [stash.tobytes()],
+            }
+        )
+
+    return (
+        kb.groupBy("bucket")
+        .cogroup(blobs.groupBy("bucket"))
+        .applyInPandas(drop, CUCKOO_SCHEMA)
+    )
+
+
 def build_filters(
     seen: DataFrame, n_buckets: int, kind: str = "bloom",
     nbits: int | None = None, cuckoo_nb: int = 1 << 18,

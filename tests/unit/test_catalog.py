@@ -101,6 +101,18 @@ def test_iceberg_catalog_roundtrip_timetravel_prune(spark, tmp_path):
     assert cat.latest_round("t") == 1
     assert cat.prune(lambda s: s.round <= 0) == 1
     assert cat.load(spark, "t").count() == 5
+    # rolled-back snapshots must be invisible to round resolution even
+    # before expire_snapshots (ancestor-chain walk, ADVICE r02)
+    assert cat.latest_round("t") == 0
+    with pytest.raises(KeyError):
+        cat.load_delta(spark, "t", 1)
+    # maintenance parity: rewrite_data_files keeps reads + round intact
+    # and stays invisible to load_delta (inherited-round compaction flag)
+    cat.commit("t", spark.range(7), 1, mode="append")
+    cat.compact(spark, "t")
+    assert cat.latest_round("t") == 1
+    assert cat.load(spark, "t").count() == 12
+    assert cat.load_delta(spark, "t", 1).count() == 7
 
 
 def test_compact_folds_append_chain(spark, tmp_path):

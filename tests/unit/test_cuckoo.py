@@ -97,6 +97,55 @@ def test_cuckoo_dedup_equals_bloom_and_exact(spark):
     assert exact == bcast == bucket
 
 
+def test_remove_from_filters_distributed_expiry(spark):
+    """URL expiry: deleting a key set from the cuckoo blobs (bucket-local
+    cogroup, no driver collect) drops their membership while every
+    surviving key stays present; bloom blobs refuse with ValueError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gpse import seen as seen_mod
+
+    seen = spark.range(0, 4000).select(
+        F.xxhash64("id").alias("url_hash"), F.lit(0).cast("int").alias("first_round")
+    )
+    blobs = seen_mod.build_cuckoos(seen, n_buckets=8, nb=1 << 11)
+    expired = seen.filter(F.col("url_hash") % 5 == 0).select("url_hash")
+    updated = seen_mod.remove_from_filters(blobs, expired, n_buckets=8)
+
+    # check the blob layer directly: expired urls should now look mostly
+    # NEW (pre-filter says no), surviving urls all maybe-seen
+    surv = seen.join(expired, "url_hash", "left_anti")
+    import numpy as np
+    from gpse import cuckoo as ck
+
+    blob_map = {
+        int(r["bucket"]): (
+            np.frombuffer(r["tbl"], dtype=np.uint16).reshape(int(r["nbuckets"]), ck.SLOTS),
+            np.frombuffer(r["stash"], dtype=np.uint16),
+        )
+        for r in updated.collect()
+    }
+
+    def maybe(keys):
+        out = np.zeros(len(keys), dtype=bool)
+        b = np.mod(keys, 8)
+        for bk in np.unique(b):
+            m = b == bk
+            tbl, stash = blob_map[int(bk)]
+            out[m] = ck.query(keys[m], tbl, stash)
+        return out
+
+    ek = np.array([r.url_hash for r in expired.collect()], dtype=np.int64)
+    sk = np.array([r.url_hash for r in surv.collect()], dtype=np.int64)
+    assert maybe(ek).mean() < 0.05      # expired: almost all gone
+    assert maybe(sk).mean() > 0.999     # survivors: all still present
+    with pytest.raises(ValueError):
+        seen_mod.remove_from_filters(
+            seen_mod.build_blooms(seen, 8, nbits=1 << 14), expired, 8
+        )
+
+
 def test_crawl_with_cuckoo_filter_matches_bloom(spark, tmp_path):
     """Full 2-round crawl with seen_filter='cuckoo' ≡ bloom run: identical
     seen sets (CrawlCfg switch, SURVEY.md §1.2)."""
