@@ -134,7 +134,21 @@ def run_queries(spark) -> dict:
         minhash_signatures(_T(spark, SF_DIR, "documents"), k=128), k=128, bands=16
     ).count()
     out["dedup_minhash_lsh_prod"] = round(time.time() - t0, 3)
-    return {"queries": out, "minhash_prod_pairs": n_pairs}
+    # batch ANN over a query TABLE (every vector queries the index): the
+    # many-query scale path — in-plan cell probe + cell-cogrouped GEMM
+    # with partial top-k (value-checked against a numpy oracle in tests)
+    from pyspark.sql import functions as F
+    from gpse.pipeline import ivf_assign, ivf_batch_topk
+
+    t0 = time.time()
+    v = _T(spark, SF_DIR, "embeddings")
+    assigned, centers = ivf_assign(spark, v)
+    queries = assigned.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    n_ann = ivf_batch_topk(assigned, queries, centers, nprobe=4, k=3).count()
+    out["similarity_ivf_batch"] = round(time.time() - t0, 3)
+    return {"queries": out, "minhash_prod_pairs": n_pairs, "ivf_batch_rows": n_ann}
 
 
 def materialize_origin(spark, corpus, path: str, n_parts: int = 64) -> None:
@@ -465,6 +479,7 @@ def main() -> None:
         "n_scheduled": crawl_hi["n_scheduled"],
         "n_new_urls": crawl_hi["n_new_urls"],
         "minhash_prod_pairs": headline.get("minhash_prod_pairs"),
+        "ivf_batch_rows": headline.get("ivf_batch_rows"),
         "steady_state": steady,
     }
     if crawl_n and crawl_4n:
@@ -621,6 +636,15 @@ def _write_baseline_md(r: dict) -> None:
             f"{r['queries'].get('dedup_minhash_lsh_prod')} s, "
             f"{c['minhash_prod_pairs']} candidate pairs (the correctness "
             "gate separately value-checks the same code at oracle knobs).",
+        ]
+    if c.get("ivf_batch_rows") is not None:
+        lines += [
+            "",
+            f"Batch ANN, query table = every embedding vector (IVF in-plan "
+            f"probe + cell-cogrouped GEMM top-k): "
+            f"{r['queries'].get('similarity_ivf_batch')} s, "
+            f"{c['ivf_batch_rows']} result rows (numpy-oracle-exact in "
+            "tests/unit/test_similarity.py).",
         ]
     lines += ["", "## Headline query times (sec)", ""]
     for k, v in r["queries"].items():

@@ -62,6 +62,46 @@ def test_ivf_probe_cells_matches_numpy(spark):
         assert got[qid] == want, (qid, got[qid], want)
 
 
+def test_ivf_batch_topk_matches_numpy_oracle(spark):
+    """The batch path (cell-cogrouped GEMM, partial top-k, global merge)
+    must return, for EVERY query in a query table, exactly the numpy-
+    computed top-k over that query's probed cells — the many-query scale
+    path is value-checked, not just run."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gpse.pipeline import ivf_assign, ivf_batch_topk
+    from gpse.queries import T
+
+    v = T(spark, SF, "embeddings")
+    assigned, centers = ivf_assign(spark, v)
+    queries = assigned.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )  # ALL 500 vectors as the query table
+    got = {}
+    for r in ivf_batch_topk(assigned, queries, centers, nprobe=3, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+
+    rows = assigned.select("vec_id", "cell", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    cells = np.array([r.cell for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    c = np.asarray(centers)
+    assert len(got) == len(ids)
+    for i, qid in enumerate(ids):
+        d = ((c - X[i]) ** 2).sum(axis=1)
+        probed = set(int(x) for x in np.argsort(d, kind="stable")[:3])
+        mask = np.array([cc in probed for cc in cells]) & (ids != qid)
+        cos = Xn[mask] @ Xn[i]
+        cand_ids = ids[mask]
+        order = sorted(zip(-cos, cand_ids))[:3]
+        want = [int(vid) for _, vid in order]
+        have = [vid for _, vid in sorted(got[qid])]
+        assert have == want, (qid, have, want)
+
+
 def test_lsh_pairs_subset_of_bruteforce_threshold(spark):
     """Every LSH-bucketed match must be a true ≥-threshold pair (no false
     positives — LSH trades recall, never precision, given exact rescoring)."""
