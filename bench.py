@@ -252,10 +252,19 @@ def crawl_round_throughput(
     must run the IDENTICAL job at both parallelism levels — on a real
     cluster you change the executor count, not the job — so both scale
     phases pass layout_cores = the 4N level."""
+    import shutil
+
     from gpse import crawl
 
     cat, cfg = _init_bench_crawl(spark, n_cores, bodies_path, layout_cores or n_cores)
-    return _round_summary(crawl.run_round(spark, cat, cfg, 0))
+    try:
+        return _round_summary(crawl.run_round(spark, cat, cfg, 0))
+    finally:
+        # each phase writes ~0.5 GB of pages into its temp catalog; the
+        # driver runs many phases per bench and a bench per round — leaving
+        # them accumulates to a full disk (measured: 173 leaked catalogs,
+        # 78 GB, ENOSPC'd a shuffle)
+        shutil.rmtree(cat.base, ignore_errors=True)
 
 
 def steady_state_rounds(spark, n_cores: int, bodies_path: str, n_rounds: int = 3) -> dict:
@@ -270,18 +279,23 @@ def steady_state_rounds(spark, n_cores: int, bodies_path: str, n_rounds: int = 3
 
     Returns per-round summaries + per-maintenance walls; the check is that
     round N+1 costs what round N did (no round-over-round degradation)."""
+    import shutil
+
     from gpse import crawl
 
     cat, cfg = _init_bench_crawl(spark, n_cores, bodies_path, n_cores)
     rounds, maint = [], []
-    for r in range(n_rounds):
-        rounds.append(_round_summary(crawl.run_round(spark, cat, cfg, r)))
-        if r < n_rounds - 1:
-            t0 = time.time()
-            cat.compact(spark, "frontier")
-            cat.compact(spark, "seen_exact")
-            cat.expire_snapshots("seen_bloom", keep_last=1)
-            maint.append(round(time.time() - t0, 3))
+    try:
+        for r in range(n_rounds):
+            rounds.append(_round_summary(crawl.run_round(spark, cat, cfg, r)))
+            if r < n_rounds - 1:
+                t0 = time.time()
+                cat.compact(spark, "frontier")
+                cat.compact(spark, "seen_exact")
+                cat.expire_snapshots("seen_bloom", keep_last=1)
+                maint.append(round(time.time() - t0, 3))
+    finally:
+        shutil.rmtree(cat.base, ignore_errors=True)  # see crawl_round_throughput
     total_sched = sum(x["n_scheduled"] for x in rounds)
     total_wall = sum(x["wall_s"] for x in rounds)
     return {
