@@ -91,6 +91,11 @@ def _session(master: str, shuffle_partitions: int):
         # (measured ~7% on the extract stage) and bound worker memory when
         # the binary column dominates (SCALE.md)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        # zstd writes the pages table 35% smaller than snappy at identical
+        # wall time (measured A/B at the bench round: 189 vs 293 MB,
+        # 17.0 vs 17.1 s; lz4 saves ~2.5 s but is 68% larger) — at 100 TB
+        # the storage + downstream-scan saving wins
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
