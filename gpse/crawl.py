@@ -57,8 +57,11 @@ class CrawlCfg:
     cuckoo_nbuckets: int = 1 << 18  # fixed per-blob buckets → mergeable
     # fetch pacing (synthetic-origin path): 'simulated' stamps the
     # politeness clock without sleeping (deterministic, benchable);
-    # 'wall' additionally sleeps each fetch to its due-time (live crawls)
+    # 'wall' additionally sleeps each fetch to its due-time (live crawls).
+    # time_scale compresses the wall clock (tests: 'wall' semantics at
+    # milliseconds instead of real crawl delays)
     fetch_pacing: str = "simulated"
+    fetch_time_scale: float = 1.0
     # blobs beyond this switch from driver-broadcast probing to the
     # bucket-local cogroup probe (SCALE.md: ~15 GB of blobs at 10^10 URLs)
     bloom_broadcast_max_bytes: int = 64 << 20
@@ -141,7 +144,10 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
             max_broadcast_bytes=cfg.fetch_broadcast_max_bytes,
         )
     else:
-        fetched = fetch_mod.fetch(sched, cfg.corpus, pacing=cfg.fetch_pacing)
+        fetched = fetch_mod.fetch(
+            sched, cfg.corpus, pacing=cfg.fetch_pacing,
+            time_scale=cfg.fetch_time_scale,
+        )
     parsed = parse_extract(fetched)
     # The round's fetch log IS the pages table (extended schema: the
     # input_hint columns url/warc_ts/html/text/lang first, then engine

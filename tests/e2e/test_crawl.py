@@ -111,6 +111,22 @@ def test_compaction_interleaved_resume_equivalence(spark, baseline, tmp_path):
     )
 
 
+def test_wall_clock_pacing_run_matches_simulated(spark, baseline, tmp_path):
+    """fetch_pacing='wall' (real sleeps to each fetch's politeness
+    due-time, compressed 1000x for the test) must change TIMING only:
+    the crawl's seen set and pages are identical to the simulated run."""
+    cat_a, _ = baseline
+    cat_w = Catalog(str(tmp_path / "wall"))
+    cfg = _cfg(4)
+    cfg.fetch_pacing = "wall"
+    cfg.fetch_time_scale = 0.001
+    crawl.run(spark, cat_w, cfg, 3)
+    assert _seen_set(spark, cat_a) == _seen_set(spark, cat_w)
+    assert (
+        cat_a.load(spark, "pages").count() == cat_w.load(spark, "pages").count()
+    )
+
+
 def test_politeness_budget_enforced(spark, baseline):
     cat, _ = baseline
     policy = cat.load(spark, "host_policy").select("host", "budget_per_round")

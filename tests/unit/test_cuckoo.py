@@ -97,6 +97,54 @@ def test_cuckoo_dedup_equals_bloom_and_exact(spark):
     assert exact == bcast == bucket
 
 
+from hypothesis import given, settings, strategies as st
+
+_keys_st = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    min_size=0, max_size=800, unique=True,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_keys_st)
+def test_property_no_false_negatives_any_keyset(keys):
+    """∀ key sets (any size vs a small fixed filter, so overload and the
+    stash path are exercised): every inserted key reports maybe-seen."""
+    arr = np.asarray(keys, dtype=np.int64)
+    tbl, stash = cuckoo.build(arr, nb=1 << 7)  # 512 slots — often overfull
+    if len(arr):
+        assert cuckoo.query(arr, tbl, stash).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_keys_st, _keys_st)
+def test_property_merge_preserves_membership(a, b):
+    """∀ blob pairs: merge(A, B) contains every key of A and of B."""
+    ka = np.asarray(a, dtype=np.int64)
+    kb = np.asarray(b, dtype=np.int64)
+    ta, sa = cuckoo.build(ka, nb=1 << 8)
+    tb, sb = cuckoo.build(kb, nb=1 << 8)
+    tm, sm = cuckoo.merge(ta, sa, tb, sb)
+    both = np.union1d(ka, kb)
+    if len(both):
+        assert cuckoo.query(both, tm, sm).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_keys_st)
+def test_property_delete_inserted_keys_counts(keys):
+    """∀ key sets: deleting every inserted key succeeds (n == |keys|) and
+    survivors of a half-delete all remain present."""
+    arr = np.asarray(keys, dtype=np.int64)
+    tbl, stash = cuckoo.build(arr, nb=1 << 8)
+    half = arr[: len(arr) // 2]
+    stash, n = cuckoo.delete(half, tbl, stash)
+    assert n == len(half)
+    rest = arr[len(arr) // 2:]
+    if len(rest):
+        assert cuckoo.query(rest, tbl, stash).all()
+
+
 def test_remove_from_filters_distributed_expiry(spark):
     """URL expiry: deleting a key set from the cuckoo blobs (bucket-local
     cogroup, no driver collect) drops their membership while every
