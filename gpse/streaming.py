@@ -119,6 +119,62 @@ def host_token_bucket(pages: DataFrame, budget_total: int = 5) -> DataFrame:
     )
 
 
+def host_token_bucket_tws(pages: DataFrame, budget_total: int = 5) -> DataFrame:
+    """The same per-host token bucket expressed with Spark 4's
+    transformWithStateInPandas — the successor API to
+    applyInPandasWithState (StatefulProcessor with typed, named state
+    slots instead of one GroupState tuple; supports timers/TTL/multiple
+    states, none of which this operator needs). Output equality with the
+    GroupState form is pinned by a test, so both stateful surfaces stay
+    demonstrated and interchangeable.
+
+    Executing this API requires `google.protobuf` (Spark's state-server
+    protocol); the sandbox ships no protobuf wheel and has no pip mirror
+    (SURVEY.md §7.2), so the parity test skips offline — same honest
+    gating as the Iceberg-jar contract test."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+
+    class Bucket(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._used = handle.getValueState("used", "used long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._used.get() if self._used.exists() else None
+            used = int(got[0]) if got is not None else 0
+            for pdf in rows:
+                n = len(pdf)
+                take = max(0, min(budget_total - used, n))
+                used += take
+                yield pd.DataFrame(
+                    {
+                        "host": [key[0]] * n,
+                        "url": pdf["url"],
+                        "allowed": [True] * take + [False] * (n - take),
+                    }
+                )
+            self._used.update((used,))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        pages.withColumn("host", host)
+        .groupBy("host")
+        .transformWithStateInPandas(
+            Bucket(),
+            outputStructType="host string, url string, allowed boolean",
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, mode: str = "append") -> list:
     """Drain a file-backed stream with Trigger.AvailableNow into a memory
     sink and return the rows (deterministic test/demo harness).

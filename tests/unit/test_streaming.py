@@ -72,6 +72,51 @@ def test_host_token_bucket_state_across_microbatches(spark, tmp_path):
     assert max(per_host.values()) == 5
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (Spark's "
+    "state-server protocol); the sandbox has no protobuf wheel and no "
+    "pip mirror — the applyInPandasWithState form covers the stateful "
+    "semantics, this pins the API-parity on protobuf-equipped clusters",
+)
+def test_transform_with_state_matches_group_state_form(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) must produce
+    the SAME per-host allowed/deferred partition as the
+    applyInPandasWithState token bucket — both stateful APIs, one
+    semantics, state carried across micro-batches in each."""
+    d = str(tmp_path / "tws_pages")
+    cfg = synth.CorpusCfg(n_pages=200, n_hosts=5, seed=42)
+    synth.gen_pages(spark, cfg, partitions=4).write.mode("overwrite").parquet(d)
+
+    def stream():
+        return (
+            spark.readStream.schema(synth.PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    def summary(rows):
+        per_host = {}
+        for r in rows:
+            k = (r.host, r.allowed)
+            per_host[k] = per_host.get(k, 0) + 1
+        return per_host
+
+    old = summary(S.run_available_now(S.host_token_bucket(stream(), 5), "t_aip"))
+    new = summary(S.run_available_now(S.host_token_bucket_tws(stream(), 5), "t_tws"))
+    assert old == new
+    assert sum(n for (_, ok), n in new.items() if ok) > 0
+
+
 def test_rolling_fetch_rate_stream_matches_batch(spark, pages_dir):
     """Sliding window (10 min / 1 min slide): streaming result must equal
     the same sliding window computed in batch over the same files."""
