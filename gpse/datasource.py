@@ -1,0 +1,164 @@
+"""Custom PySpark DataSource for the synthetic web corpus (SURVEY §2.1).
+
+Spark 4's Python Data Source API lets a pure-Python source participate in
+planning like a native connector: `spark.read.format("gpse_synth")` with
+partition planning (one InputPartition per page-id range → parallel scan)
+and FILTER PUSHDOWN (4.1 `pushFilters`): page-id range predicates prune
+partitions before any row is generated, and host equality is applied
+inside the reader — the same pushdown discipline the parquet scans get
+from Catalyst, demonstrated on a from-scratch source.
+
+Rows are produced as Arrow RecordBatches (the API's vectorized fast
+path), byte-identical to `synth.gen_pages` for the same CorpusCfg —
+including the ~5% second-capture duplicates — which an equality test
+pins. Registration:
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthWebDataSource)
+    df = (spark.read.format("gpse_synth")
+          .options(n_pages=300, n_hosts=15, seed=42, partitions=4).load())
+
+(the pushdown conf is off by default in 4.1 and runtime-settable; without
+it Spark refuses a reader that implements pushFilters).
+
+Schema = the input_hint pages schema plus the generator's natural keys
+(page_id, host) so predicates have something to push against.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+SCHEMA = (
+    "page_id long, host string, url string, warc_ts timestamp, "
+    "html binary, text string, lang string"
+)
+
+
+@dataclass
+class _IdRange(InputPartition):
+    start: int
+    end: int
+
+
+class SynthWebReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_pages = int(options.get("n_pages", 1000))
+        self.n_hosts = int(options.get("n_hosts", 50))
+        self.seed = int(options.get("seed", 42))
+        self.n_parts = int(options.get("partitions", 8))
+        self.id_lo = 0
+        self.id_hi = self.n_pages
+        self.host_eq: str | None = None
+
+    # -- planning -------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]):
+        """Handle page_id range/equality (→ partition pruning: the id
+        range narrows BEFORE partitions() plans it) and host equality
+        (→ row filter inside read()); everything else goes back to Spark.
+        The AND-list contract means a fully-handled filter need not be
+        re-evaluated post-scan, so handled filters are not yielded."""
+        for f in filters:
+            col = f.attribute
+            if col == ("page_id",) and hasattr(f, "value") and isinstance(f.value, int):
+                v = f.value
+                if isinstance(f, EqualTo):
+                    self.id_lo = max(self.id_lo, v)
+                    self.id_hi = min(self.id_hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.id_lo = max(self.id_lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.id_lo = max(self.id_lo, v)
+                elif isinstance(f, LessThan):
+                    self.id_hi = min(self.id_hi, v)
+                elif isinstance(f, LessThanOrEqual):
+                    self.id_hi = min(self.id_hi, v + 1)
+                else:
+                    yield f
+            elif col == ("host",) and isinstance(f, EqualTo) and isinstance(f.value, str):
+                self.host_eq = f.value
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        lo, hi = self.id_lo, max(self.id_lo, self.id_hi)
+        n = max(1, min(self.n_parts, hi - lo)) if hi > lo else 1
+        step = max(1, (hi - lo + n - 1) // n)
+        parts = [_IdRange(s, min(s + step, hi)) for s in range(lo, hi, step)]
+        return parts or [_IdRange(0, 0)]
+
+    # -- execution ------------------------------------------------------
+    def read(self, partition: _IdRange) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
+        from gpse import synth
+
+        if partition.end <= partition.start:
+            return
+        cfg = synth.CorpusCfg(
+            n_pages=self.n_pages, n_hosts=self.n_hosts, seed=self.seed
+        )
+        ids = np.arange(partition.start, partition.end, dtype=np.uint64)
+        hosts_n = synth.host_of(ids, cfg)
+        hostnames = [f"h{int(h)}.example" for h in hosts_n]
+        if self.host_eq is not None:
+            keep = np.array([h == self.host_eq for h in hostnames])
+            if not keep.any():
+                return
+            ids, hosts_n = ids[keep], hosts_n[keep]
+            hostnames = [h for h, k in zip(hostnames, keep) if k]
+        urls = synth.url_of(ids, cfg)
+        ts = synth.warc_ts_us(ids, cfg)
+        html = synth.html_for(ids, cfg)
+        langs = [
+            synth._LANGS[int(x)]
+            for x in (synth.mix64(hosts_n.astype(np.uint64), cfg.seed, 9) % np.uint64(4))
+        ]
+        # second captures (+45 days), mirroring synth.gen_pages exactly
+        recrawl = (synth.mix64(ids, cfg.seed, 8) % np.uint64(20)) == np.uint64(0)
+        pid = ids.astype(np.int64).tolist()
+        ts_l = ts.astype(np.int64).tolist()
+        dup_idx = np.flatnonzero(recrawl)
+        day45_us = 45 * 86400 * 1_000_000
+        yield pa.record_batch(
+            {
+                "page_id": pa.array(pid + [pid[i] for i in dup_idx], pa.int64()),
+                "host": pa.array(hostnames + [hostnames[i] for i in dup_idx]),
+                "url": pa.array(urls + [urls[i] for i in dup_idx]),
+                "warc_ts": pa.array(
+                    ts_l + [ts_l[i] + day45_us for i in dup_idx],
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array(
+                    html + [html[i] for i in dup_idx], pa.binary()
+                ),
+                "text": pa.array([""] * (len(pid) + len(dup_idx))),
+                "lang": pa.array(langs + [langs[i] for i in dup_idx]),
+            }
+        )
+
+
+class SynthWebDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gpse_synth"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SynthWebReader:
+        return SynthWebReader(self.options)

@@ -1,0 +1,107 @@
+"""Custom Python DataSource (gpse_synth): registration, Arrow-batch read
+equality with synth.gen_pages, partition planning, and 4.1 filter
+pushdown (page-id range → partition pruning; host equality → in-reader
+row filter; everything else returned to Spark)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpse import synth
+from gpse.datasource import SynthWebDataSource, SynthWebReader
+
+
+def _register(spark):
+    # pushFilters() requires the (off-by-default in 4.1) pushdown flag;
+    # runtime-settable session conf
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthWebDataSource)
+
+
+def _load(spark, **opts):
+    r = spark.read.format("gpse_synth")
+    for k, v in {"n_pages": 300, "n_hosts": 15, "seed": 42, "partitions": 4, **opts}.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_reads_equal_gen_pages(spark):
+    """The data source must emit EXACTLY gen_pages' rows (incl. the ~5%
+    second captures) for the same CorpusCfg — same generator, two source
+    surfaces."""
+    _register(spark)
+    cfg = synth.CorpusCfg(n_pages=300, n_hosts=15, seed=42)
+    key = lambda r: (r.url, r.warc_ts, bytes(r.html), r.text, r.lang)  # noqa: E731
+    want = sorted(key(r) for r in synth.gen_pages(spark, cfg, 4).collect())
+    got = sorted(
+        key(r)
+        for r in _load(spark).select("url", "warc_ts", "html", "text", "lang").collect()
+    )
+    assert got == want
+    assert len(got) > 300  # second captures present
+
+
+def test_pushdown_narrows_partition_planning():
+    """pushFilters: page_id range predicates narrow the planned id range
+    (partition pruning before any row is generated); host equality is
+    absorbed; unsupported filters are returned to Spark by reference."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    r = SynthWebReader({"n_pages": "1000", "partitions": "4"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("page_id",), 100),
+                LessThan(("page_id",), 200),
+                EqualTo(("host",), "h3.example"),
+                IsNotNull(("url",)),
+            ]
+        )
+    )
+    assert (r.id_lo, r.id_hi) == (100, 200)
+    assert r.host_eq == "h3.example"
+    assert leftover == [IsNotNull(("url",))]
+    parts = r.partitions()
+    assert parts[0].start == 100 and parts[-1].end == 200
+    assert len(parts) == 4  # pruned range still parallel
+
+
+def test_filtered_query_end_to_end(spark):
+    """A filtered read through the pushdown path returns exactly the
+    brute-force filtered rows."""
+    _register(spark)
+    full = _load(spark, partitions=3)
+    got = (
+        _load(spark, partitions=3)
+        .filter((F.col("page_id") >= 50) & (F.col("page_id") < 90))
+        .filter(F.col("host") == "h0.example")
+        .select("page_id", "url")
+        .collect()
+    )
+    want = (
+        full.filter((F.col("page_id") >= 50) & (F.col("page_id") < 90))
+        .filter(F.col("host") == "h0.example")
+        .select("page_id", "url")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert all(50 <= r.page_id < 90 for r in got)
+
+
+def test_crawl_pipeline_consumes_datasource(spark):
+    """The source plugs straight into engine ops: exact dedup over the
+    multi-capture url column finds the second captures."""
+    _register(spark)
+    df = _load(spark)
+    dups = (
+        df.groupBy("url")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dups > 0
