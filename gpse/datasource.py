@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 SCHEMA = (
@@ -152,6 +153,68 @@ class SynthWebReader(DataSourceReader):
         )
 
 
+def _row_block(start: int, end: int, cfg) -> list[tuple]:
+    """The corpus rows for one id range as Python tuples (shared row logic
+    for the streaming reader; the batch reader's Arrow path mirrors it)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from gpse import synth
+
+    if end <= start:
+        return []
+    ids = np.arange(start, end, dtype=np.uint64)
+    hosts_n = synth.host_of(ids, cfg)
+    urls = synth.url_of(ids, cfg)
+    ts = synth.warc_ts_us(ids, cfg).astype(np.int64)
+    html = synth.html_for(ids, cfg)
+    langs = [
+        synth._LANGS[int(x)]
+        for x in (synth.mix64(hosts_n.astype(np.uint64), cfg.seed, 9) % np.uint64(4))
+    ]
+    recrawl = (synth.mix64(ids, cfg.seed, 8) % np.uint64(20)) == np.uint64(0)
+    epoch = dt.datetime(1970, 1, 1)
+    rows = []
+    for i in range(len(ids)):
+        t = epoch + dt.timedelta(microseconds=int(ts[i]))
+        row = (int(ids[i]), f"h{int(hosts_n[i])}.example", urls[i], t, html[i], "", langs[i])
+        rows.append(row)
+        if recrawl[i]:
+            rows.append(row[:3] + (t + dt.timedelta(days=45),) + row[4:])
+    return rows
+
+
+class SynthWebStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the source (§2.9 × §2.1): micro-batches advance a
+    page-id offset — `read(start)` returns everything now "available"
+    (one `rows_per_batch` chunk; a web-scale source would return whatever
+    the upstream produced) plus the next offset, and
+    `readBetweenOffsets(start, end)` replays a committed batch exactly
+    for failure recovery — the source-side half of exactly-once."""
+
+    def __init__(self, options: dict) -> None:
+        from gpse import synth
+
+        self.cfg = synth.CorpusCfg(
+            n_pages=int(options.get("n_pages", 1000)),
+            n_hosts=int(options.get("n_hosts", 50)),
+            seed=int(options.get("seed", 42)),
+        )
+        self.rows_per_batch = int(options.get("rows_per_batch", 200))
+
+    def initialOffset(self) -> dict:
+        return {"page_id": 0}
+
+    def read(self, start: dict):
+        s = int(start["page_id"])
+        e = min(s + self.rows_per_batch, self.cfg.n_pages)
+        return iter(_row_block(s, e, self.cfg)), {"page_id": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(_row_block(int(start["page_id"]), int(end["page_id"]), self.cfg))
+
+
 class SynthWebDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -162,3 +225,6 @@ class SynthWebDataSource(DataSource):
 
     def reader(self, schema) -> SynthWebReader:
         return SynthWebReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthWebStreamReader:
+        return SynthWebStreamReader(self.options)

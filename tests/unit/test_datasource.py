@@ -93,6 +93,68 @@ def test_filtered_query_end_to_end(spark):
     assert all(50 <= r.page_id < 90 for r in got)
 
 
+def test_stream_reader_offsets_and_replay():
+    """Offset protocol: read() advances page_id by rows_per_batch and
+    returns that chunk; readBetweenOffsets replays exactly the same rows
+    (the failure-recovery contract); reads past the end return nothing
+    and do not advance."""
+    from gpse.datasource import SynthWebStreamReader
+
+    r = SynthWebStreamReader({"n_pages": "150", "n_hosts": "10", "seed": "42", "rows_per_batch": "60"})
+    assert r.initialOffset() == {"page_id": 0}
+    rows1, off1 = r.read({"page_id": 0})
+    rows1 = list(rows1)
+    assert off1 == {"page_id": 60}
+    assert list(r.readBetweenOffsets({"page_id": 0}, {"page_id": 60})) == rows1
+    rows3, off3 = r.read({"page_id": 120})
+    assert off3 == {"page_id": 150}
+    empty, off4 = r.read(off3)
+    assert list(empty) == [] and off4 == off3  # caught up: offset stable
+
+
+def test_streaming_read_equals_batch(spark):
+    """readStream over the source must drain exactly the batch read's rows
+    across SEVERAL micro-batches (rows_per_batch chunks arrive per
+    trigger — a live query, since AvailableNow consumes only one read()
+    attempt of a simple stream reader)."""
+    import time
+
+    _register(spark)
+    stream = (
+        spark.readStream.format("gpse_synth")
+        .option("n_pages", 300)
+        .option("n_hosts", 15)
+        .option("seed", 42)
+        .option("rows_per_batch", 80)
+        .load()
+    )
+    want = sorted(
+        (r.url, r.warc_ts, bytes(r.html), r.lang) for r in _load(spark).collect()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_synth_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM t_synth_stream").collect()[0].n
+            if n >= len(want):
+                break
+            time.sleep(0.5)
+        got = sorted(
+            (r.url, r.warc_ts, bytes(r.html), r.lang)
+            for r in spark.sql("SELECT * FROM t_synth_stream").collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
+    # several micro-batches actually ran (300 ids / 80 per chunk ≥ 4)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 4
+
+
 def test_crawl_pipeline_consumes_datasource(spark):
     """The source plugs straight into engine ops: exact dedup over the
     multi-capture url column finds the second captures."""
