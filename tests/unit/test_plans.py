@@ -121,6 +121,27 @@ def test_fetch_from_corpus_large_batch_no_driver_broadcast(spark):
     assert "BroadcastExchange" not in p, p
 
 
+def test_python_datasource_pushdown_visible_in_plan(spark):
+    """The custom Python DataSource's pushFilters must surface as
+    PushedFilters on its BatchScan — the same pushdown discipline the
+    parquet scans are pinned to, on the from-scratch source."""
+    from gpse.datasource import SynthWebDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthWebDataSource)
+    df = (
+        spark.read.format("gpse_synth")
+        .option("n_pages", 200)
+        .option("partitions", 2)
+        .load()
+        .filter((F.col("page_id") >= 50) & (F.col("page_id") < 90))
+    )
+    p = plan_of(df)
+    assert "BatchScan gpse_synth" in p, p
+    assert "GreaterThanOrEqual(page_id,50)" in p, p
+    assert "LessThan(page_id,90)" in p, p
+
+
 def test_anti_join_dedup_plan(spark):
     from gpse.queries import q_anti_join
 
