@@ -33,6 +33,7 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -41,6 +42,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = (
@@ -215,6 +217,70 @@ class SynthWebStreamReader(SimpleDataSourceStreamReader):
         return iter(_row_block(int(start["page_id"]), int(end["page_id"]), self.cfg))
 
 
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class AtomicDirWriter(DataSourceWriter):
+    """Write path of the API (the full source/sink surface): an
+    atomic-directory JSONL sink with the SAME two-phase commit protocol
+    as the engine's catalog (gpse/catalog.py): every task writes a
+    `_tmp-*.jsonl` file and returns it as its commit message; `commit`
+    renames all temp files into place and THEN writes a `_SUCCESS`
+    manifest listing them (readers honor only manifest-listed files, so a
+    crash between renames leaves an ignorable partial dir); `abort`
+    removes the temp files. Exactly Spark's FileCommitProtocol shape,
+    expressed through the Python writer API and crash-tested."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartFile:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        tid = TaskContext.get().taskAttemptId() if TaskContext.get() else uuid.uuid4().hex
+        tmp = os.path.join(self.path, f"_tmp-{tid}-{uuid.uuid4().hex[:8]}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartFile(path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        final = []
+        for m in messages:
+            if m is None or m.n_rows == 0:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+                continue
+            dst = m.path.replace("_tmp-", "part-")
+            os.replace(m.path, dst)
+            final.append({"file": os.path.basename(dst), "n_rows": m.n_rows})
+        tmp = os.path.join(self.path, "_SUCCESS.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"files": final}, f)
+        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))  # atomic commit point
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class SynthWebDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -228,3 +294,6 @@ class SynthWebDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SynthWebStreamReader:
         return SynthWebStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> AtomicDirWriter:
+        return AtomicDirWriter(self.options, overwrite)

@@ -155,6 +155,52 @@ def test_streaming_read_equals_batch(spark):
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 4
 
 
+def test_writer_two_phase_commit(spark, tmp_path):
+    """Write path: tasks stage _tmp files, commit renames them and lands
+    an atomic _SUCCESS manifest listing exactly the committed parts; rows
+    round-trip through the JSONL sink."""
+    import json
+    import os
+
+    _register(spark)
+    d = str(tmp_path / "sink")
+    df = spark.range(0, 100, 1, 4).selectExpr("id", "id * 2 AS v")
+    df.write.format("gpse_synth").option("path", d).mode("append").save()
+    manifest = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert sum(f["n_rows"] for f in manifest["files"]) == 100
+    names = {f["file"] for f in manifest["files"]}
+    on_disk = {f for f in os.listdir(d) if f.startswith("part-")}
+    assert names == on_disk
+    assert not [f for f in os.listdir(d) if f.startswith("_tmp-")]
+    rows = []
+    for f in names:
+        with open(os.path.join(d, f)) as fh:
+            rows += [json.loads(l) for l in fh]
+    assert sorted((r["id"], r["v"]) for r in rows) == [(i, 2 * i) for i in range(100)]
+
+
+def test_writer_abort_leaves_no_committed_state(spark, tmp_path):
+    """A failing write job must abort: no _SUCCESS manifest and no
+    committed part files — only the catalog-style invisible leftovers."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    _register(spark)
+    d = str(tmp_path / "sink_abort")
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("injected task failure")
+
+    df = spark.range(0, 10, 1, 2).select(boom("id").alias("id"))
+    with pytest.raises(Exception):
+        df.write.format("gpse_synth").option("path", d).mode("append").save()
+    assert not os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert not [f for f in os.listdir(d) if f.startswith("part-")] if os.path.isdir(d) else True
+
+
 def test_crawl_pipeline_consumes_datasource(spark):
     """The source plugs straight into engine ops: exact dedup over the
     multi-capture url column finds the second captures."""
