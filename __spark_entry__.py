@@ -143,14 +143,16 @@ def q_crawl_schedule(spark, sf):
 
 def q_crawl_round(spark, sf):
     """One full crawl round end-to-end (fetch→parse→extract→dedup→commit)
-    in a temp catalog; returns the per-partition metrics table. The
-    catalog lives at ONE fixed scratch path, wiped on entry, so repeated
-    driver runs stay bounded (the returned DataFrame is collected by the
-    caller AFTER this function returns, so the files must outlive it —
-    a TemporaryDirectory context would delete them too early)."""
+    in a temp catalog; returns the per-partition metrics table. Each call
+    gets its own mkdtemp under one scratch root (collision-free across
+    concurrent driver processes — the returned DataFrame is collected by
+    the caller AFTER this function returns, so wiping a shared fixed path
+    on entry would race a live reader); stale catalogs older than 2 h are
+    pruned so repeated driver runs stay disk-bounded."""
     import os
     import shutil
     import tempfile
+    import time
 
     from gpse import crawl, synth
     from gpse.catalog import Catalog
@@ -161,9 +163,17 @@ def q_crawl_round(spark, sf):
         num_partitions=4,
         n_salts=4,
     )
-    base = os.path.join(tempfile.gettempdir(), "gpse_entryq_catalog")
-    shutil.rmtree(base, ignore_errors=True)
-    cat = Catalog(base)
+    root = os.path.join(tempfile.gettempdir(), "gpse_entryq")
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 7200
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    cat = Catalog(tempfile.mkdtemp(dir=root))
     crawl.run(spark, cat, cfg, 1)
     return cat.load(spark, "metrics").orderBy("partition_id")
 

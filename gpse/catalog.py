@@ -361,18 +361,21 @@ class IcebergCatalog:
 
     def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
         """Iceberg's expire_snapshots — drop all but the newest
-        `keep_last` ancestor snapshots and delete unreferenced files
-        (the 1:1 mapping of Catalog.expire_snapshots)."""
+        `keep_last` ancestor snapshots and delete unreferenced files.
+        Returns the number of SNAPSHOTS dropped — the parquet Catalog's
+        contract — not the procedure's deleted-data-files count, which is
+        0 whenever the expired snapshots' files are still referenced
+        (r3 review: the two would silently diverge)."""
         snaps = self._snaps(name)
         drop = snaps[:-keep_last] if keep_last > 0 else snaps
         if not drop:
             return 0
-        rows = self.spark.sql(
+        self.spark.sql(
             f"CALL {self.cat}.system.expire_snapshots("
             f"table => '{self.ns}.{name}', "
             f"snapshot_ids => ARRAY({', '.join(s['snapshot_id'] for s in drop)}))"
         ).collect()
-        return int(rows[0][0]) if rows else len(drop)
+        return len(drop)
 
     def exists(self, name: str) -> bool:
         return self.spark.catalog.tableExists(self._tbl(name))

@@ -76,6 +76,12 @@ class CrawlCfg:
     fetch_broadcast_max_bytes: int = 512 << 20
 
 
+# per-origin-path memo of fetch.detect_unique_captures (a corpus property;
+# see run_round). Process-lifetime is the right scope: the bench and driver
+# reuse one origin path across many rounds/runs.
+_UNIQUE_CAPTURES_CACHE: dict[str, bool] = {}
+
+
 def init_crawl(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, seeds=None, seed_df=None) -> None:
     """Round 0 state: seeds → frontier + seen + seen_bloom, robots → policy.
     `seed_df` (url, priority) lets large benches build seeds distributively."""
@@ -132,16 +138,25 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
     if cfg.corpus_bodies_path:
         bodies = spark.read.parquet(cfg.corpus_bodies_path)
-        if cfg.corpus_unique_captures is None:
+        uc = cfg.corpus_unique_captures
+        if uc is None:
             # the answer is a property of the (fixed) origin corpus, not of
-            # the round — detect once and memoize on the cfg so a multi-round
-            # crawl doesn't re-run the full groupBy(url) detection job every
-            # round (ADVICE r02: at the 10^10-URL design point that is a huge
-            # recurring aggregation whose answer never changes)
-            cfg.corpus_unique_captures = fetch_mod.detect_unique_captures(bodies)
+            # the round — detect once per PATH and memoize module-side so a
+            # multi-round crawl doesn't re-run the full groupBy(url)
+            # detection job every round (ADVICE r02). Keyed on the path,
+            # not mutated onto the caller's cfg: a cfg repointed at a
+            # different origin must re-detect (r3 review)
+            uc = _UNIQUE_CAPTURES_CACHE.get(cfg.corpus_bodies_path)
+            if uc is None:
+                uc = fetch_mod.detect_unique_captures(bodies)
+                _UNIQUE_CAPTURES_CACHE[cfg.corpus_bodies_path] = uc
         fetched = fetch_mod.fetch_from_corpus(
-            sched, bodies, cfg.num_partitions, cfg.corpus_unique_captures,
+            sched, bodies, cfg.num_partitions, uc,
             max_broadcast_bytes=cfg.fetch_broadcast_max_bytes,
+            # the cap is an upper bound on the batch's rows — enough for a
+            # conservative broadcast-vs-shuffle decision with zero sizing
+            # jobs; uncapped (budget-bounded) rounds pay one cached count
+            batch_rows_hint=cfg.batch_size,
         )
     else:
         fetched = fetch_mod.fetch(

@@ -74,10 +74,36 @@ def _bulk_place(table: np.ndarray, occ: np.ndarray, idx: np.ndarray, fp: np.ndar
     return placed
 
 
+def _evict_insert(table: np.ndarray, fp: int, start_bucket: int, stash: list[int]) -> None:
+    """Bounded eviction walk for one fingerprint (shared by build and
+    merge): fill the lowest free slot, else rotate victims through the
+    alternate-bucket hop; exhausted walks land in the exact stash, so no
+    insert is ever dropped."""
+    nb = table.shape[0]
+    cur_fp, cur_b = fp, start_bucket
+    for kick in range(MAX_KICKS):
+        free = np.flatnonzero(table[cur_b] == 0)
+        if len(free):
+            table[cur_b, free[0]] = cur_fp
+            return
+        # deterministic eviction: rotate the victim slot by kick count
+        s = kick % SLOTS
+        victim = table[cur_b, s]
+        table[cur_b, s] = cur_fp
+        cur_fp = victim
+        cur_b = int(_alt_bucket(np.array([cur_b]), np.array([cur_fp], dtype=np.uint16), nb)[0])
+    stash.append(int(cur_fp))
+
+
 def build(keys: np.ndarray, nb: int) -> tuple[np.ndarray, np.ndarray]:
     """Build a cuckoo filter over int64 keys → (table[nb, SLOTS] uint16,
     stash uint16 array). `nb` must be a power of two (mergeability: all
-    blobs of a bucket family share one nb)."""
+    blobs of a bucket family share one nb).
+
+    Invariant: every bucket's occupied slots are PACKED low-first — the
+    bulk passes fill contiguously from empty, the eviction walk fills the
+    lowest free slot or replaces an occupied one, and delete() swap-
+    removes. _bulk_place's occ+cumcount slot arithmetic relies on it."""
     assert nb & (nb - 1) == 0, "nb must be a power of two"
     table = np.zeros((nb, SLOTS), dtype=np.uint16)
     occ = np.zeros(nb, dtype=np.int64)
@@ -93,22 +119,7 @@ def build(keys: np.ndarray, nb: int) -> tuple[np.ndarray, np.ndarray]:
         rem_idx = np.zeros(0, dtype=np.int64)
     stash: list[int] = []
     for k in rem_idx:  # bounded eviction walk over the small remainder
-        cur_fp, cur_b = fp[k], i1[k]
-        done = False
-        for kick in range(MAX_KICKS):
-            free = np.flatnonzero(table[cur_b] == 0)
-            if len(free):
-                table[cur_b, free[0]] = cur_fp
-                done = True
-                break
-            # deterministic eviction: rotate the victim slot by kick count
-            s = kick % SLOTS
-            victim = table[cur_b, s]
-            table[cur_b, s] = cur_fp
-            cur_fp = victim
-            cur_b = int(_alt_bucket(np.array([cur_b]), np.array([cur_fp], dtype=np.uint16), nb)[0])
-        if not done:
-            stash.append(int(cur_fp))
+        _evict_insert(table, fp[k], int(i1[k]), stash)
     return table, np.asarray(stash, dtype=np.uint16)
 
 
@@ -137,7 +148,16 @@ def delete(keys: np.ndarray, table: np.ndarray, stash: np.ndarray) -> tuple[np.n
         for b in (i1[k], i2[k]):
             s = np.flatnonzero(table[b] == fp[k])
             if len(s):
-                table[b, s[0]] = 0
+                # SWAP-REMOVE to keep the bucket's occupied slots packed
+                # low-first (the invariant _bulk_place's occ+cumcount slot
+                # arithmetic depends on): move the last occupied slot's
+                # fingerprint into the vacated slot. Zeroing in place
+                # would leave a hole a later merge() writes past,
+                # clobbering a live fingerprint → false negatives.
+                occ_slots = np.flatnonzero(table[b] != 0)
+                last = occ_slots[-1]
+                table[b, s[0]] = table[b, last]
+                table[b, last] = 0
                 hit = True
                 break
         if not hit and int(fp[k]) in stash_list:
@@ -173,20 +193,6 @@ def merge(
     else:
         rem_i = np.zeros(0, dtype=np.int64)
     for k in rem_i:
-        cur_fp, cur_b = fps[k], int(bj[k])
-        done = False
-        for kick in range(MAX_KICKS):
-            free = np.flatnonzero(table[cur_b] == 0)
-            if len(free):
-                table[cur_b, free[0]] = cur_fp
-                done = True
-                break
-            s = kick % SLOTS
-            victim = table[cur_b, s]
-            table[cur_b, s] = cur_fp
-            cur_fp = victim
-            cur_b = int(_alt_bucket(np.array([cur_b]), np.array([cur_fp], dtype=np.uint16), nb)[0])
-        if not done:
-            stash.append(int(cur_fp))
+        _evict_insert(table, fps[k], int(bj[k]), stash)
     stash.extend(int(x) for x in stash_b)
     return table, np.asarray(stash, dtype=np.uint16)

@@ -91,7 +91,16 @@ class SynthWebReader(DataSourceReader):
                     self.id_hi = min(self.id_hi, v + 1)
                 else:
                     yield f
-            elif col == ("host",) and isinstance(f, EqualTo) and isinstance(f.value, str):
+            elif (
+                col == ("host",)
+                and isinstance(f, EqualTo)
+                and isinstance(f.value, str)
+                and self.host_eq in (None, f.value)
+            ):
+                # absorb ONE host equality; a second, different one (a
+                # contradictory conjunction Catalyst does not fold) is
+                # yielded back so Spark re-applies it post-scan → the
+                # correct empty result, never the last-writer-wins rows
                 self.host_eq = f.value
             else:
                 yield f
@@ -105,67 +114,46 @@ class SynthWebReader(DataSourceReader):
 
     # -- execution ------------------------------------------------------
     def read(self, partition: _IdRange) -> Iterator:
-        import numpy as np
         import pyarrow as pa
 
         from gpse import synth
 
-        if partition.end <= partition.start:
-            return
         cfg = synth.CorpusCfg(
             n_pages=self.n_pages, n_hosts=self.n_hosts, seed=self.seed
         )
-        ids = np.arange(partition.start, partition.end, dtype=np.uint64)
-        hosts_n = synth.host_of(ids, cfg)
-        hostnames = [f"h{int(h)}.example" for h in hosts_n]
+        cols = _col_block(partition.start, partition.end, cfg)
+        if cols is None:
+            return
         if self.host_eq is not None:
-            keep = np.array([h == self.host_eq for h in hostnames])
-            if not keep.any():
+            keep = [i for i, h in enumerate(cols["host"]) if h == self.host_eq]
+            if not keep:
                 return
-            ids, hosts_n = ids[keep], hosts_n[keep]
-            hostnames = [h for h, k in zip(hostnames, keep) if k]
-        urls = synth.url_of(ids, cfg)
-        ts = synth.warc_ts_us(ids, cfg)
-        html = synth.html_for(ids, cfg)
-        langs = [
-            synth._LANGS[int(x)]
-            for x in (synth.mix64(hosts_n.astype(np.uint64), cfg.seed, 9) % np.uint64(4))
-        ]
-        # second captures (+45 days), mirroring synth.gen_pages exactly
-        recrawl = (synth.mix64(ids, cfg.seed, 8) % np.uint64(20)) == np.uint64(0)
-        pid = ids.astype(np.int64).tolist()
-        ts_l = ts.astype(np.int64).tolist()
-        dup_idx = np.flatnonzero(recrawl)
-        day45_us = 45 * 86400 * 1_000_000
+            cols = {k: [v[i] for i in keep] for k, v in cols.items()}
         yield pa.record_batch(
             {
-                "page_id": pa.array(pid + [pid[i] for i in dup_idx], pa.int64()),
-                "host": pa.array(hostnames + [hostnames[i] for i in dup_idx]),
-                "url": pa.array(urls + [urls[i] for i in dup_idx]),
-                "warc_ts": pa.array(
-                    ts_l + [ts_l[i] + day45_us for i in dup_idx],
-                    pa.timestamp("us"),
-                ),
-                "html": pa.array(
-                    html + [html[i] for i in dup_idx], pa.binary()
-                ),
-                "text": pa.array([""] * (len(pid) + len(dup_idx))),
-                "lang": pa.array(langs + [langs[i] for i in dup_idx]),
+                "page_id": pa.array(cols["page_id"], pa.int64()),
+                "host": pa.array(cols["host"]),
+                "url": pa.array(cols["url"]),
+                "warc_ts": pa.array(cols["warc_ts_us"], pa.timestamp("us")),
+                "html": pa.array(cols["html"], pa.binary()),
+                "text": pa.array(cols["text"]),
+                "lang": pa.array(cols["lang"]),
             }
         )
 
 
-def _row_block(start: int, end: int, cfg) -> list[tuple]:
-    """The corpus rows for one id range as Python tuples (shared row logic
-    for the streaming reader; the batch reader's Arrow path mirrors it)."""
-    import datetime as dt
-
+def _col_block(start: int, end: int, cfg) -> dict | None:
+    """The corpus columns for one id range — ONE shared implementation of
+    the row logic (host/url/ts/html/lang + the ~5% second captures at
+    +45 days, mirroring synth.gen_pages) consumed by both the batch
+    reader (Arrow path) and the streaming reader (tuple path), so the two
+    source surfaces cannot drift apart."""
     import numpy as np
 
     from gpse import synth
 
     if end <= start:
-        return []
+        return None
     ids = np.arange(start, end, dtype=np.uint64)
     hosts_n = synth.host_of(ids, cfg)
     urls = synth.url_of(ids, cfg)
@@ -176,15 +164,42 @@ def _row_block(start: int, end: int, cfg) -> list[tuple]:
         for x in (synth.mix64(hosts_n.astype(np.uint64), cfg.seed, 9) % np.uint64(4))
     ]
     recrawl = (synth.mix64(ids, cfg.seed, 8) % np.uint64(20)) == np.uint64(0)
+    dup = np.flatnonzero(recrawl)
+    day45_us = 45 * 86400 * 1_000_000
+    pid = ids.astype(np.int64).tolist()
+    hostnames = [f"h{int(h)}.example" for h in hosts_n]
+    ts_l = ts.tolist()
+    return {
+        "page_id": pid + [pid[i] for i in dup],
+        "host": hostnames + [hostnames[i] for i in dup],
+        "url": urls + [urls[i] for i in dup],
+        "warc_ts_us": ts_l + [ts_l[i] + day45_us for i in dup],
+        "html": html + [html[i] for i in dup],
+        "text": [""] * (len(pid) + len(dup)),
+        "lang": langs + [langs[i] for i in dup],
+    }
+
+
+def _row_block(start: int, end: int, cfg) -> list[tuple]:
+    """_col_block as Python tuples (the streaming reader's row form)."""
+    import datetime as dt
+
+    cols = _col_block(start, end, cfg)
+    if cols is None:
+        return []
     epoch = dt.datetime(1970, 1, 1)
-    rows = []
-    for i in range(len(ids)):
-        t = epoch + dt.timedelta(microseconds=int(ts[i]))
-        row = (int(ids[i]), f"h{int(hosts_n[i])}.example", urls[i], t, html[i], "", langs[i])
-        rows.append(row)
-        if recrawl[i]:
-            rows.append(row[:3] + (t + dt.timedelta(days=45),) + row[4:])
-    return rows
+    return [
+        (
+            cols["page_id"][i],
+            cols["host"][i],
+            cols["url"][i],
+            epoch + dt.timedelta(microseconds=cols["warc_ts_us"][i]),
+            cols["html"][i],
+            cols["text"][i],
+            cols["lang"][i],
+        )
+        for i in range(len(cols["page_id"]))
+    ]
 
 
 class SynthWebStreamReader(SimpleDataSourceStreamReader):

@@ -44,13 +44,18 @@ def pace_wall_clock(
     time_scale: float = 1.0,
     now: Callable[[], float] | None = None,
     sleep: Callable[[float], None] | None = None,
+    on_due: Callable[[int], None] | None = None,
 ) -> list[float]:
-    """Sleep each fetch to its politeness due-time on the wall clock.
+    """Sleep each fetch to its politeness due-time on the wall clock AND
+    issue it there: rows are visited in due order; before each, sleep
+    until t0 + offset·time_scale, then invoke `on_due(i)` — the actual
+    per-row fetch. Gating the request itself (not sleeping after a batch
+    of already-issued requests) is the politeness contract a live HTTP
+    origin needs (r3 review finding).
 
     `offsets_ms[i]` is row i's due offset from the batch start (already
-    spaced by i_lane × crawl_delay per (host, salt) lane). Rows are visited
-    in due order; before each, sleep until t0 + offset·time_scale. Returns
-    the per-row emission times relative to t0 (testable with injected
+    spaced by i_lane × crawl_delay per (host, salt) lane). Returns the
+    per-row emission times relative to t0 (testable with injected
     now/sleep — the unit test uses a fake clock, so no real sleeping)."""
     now = now or time.monotonic
     sleep = sleep or time.sleep
@@ -61,6 +66,8 @@ def pace_wall_clock(
         delta = due - now()
         if delta > 0:
             sleep(delta)
+        if on_due is not None:
+            on_due(int(i))
         emitted[i] = now() - t0
     return emitted.tolist()
 
@@ -90,6 +97,7 @@ def fetch(
             parsed = [synth.parse_canonical_url(u) for u in urls]
             status = np.full(n, 404, dtype=np.int32)
             html: list[bytes | None] = [None] * n
+            ts_col = np.zeros(n, dtype=np.int64)
             ok_ids = []
             ok_pos = []
             for i, pr in enumerate(parsed):
@@ -100,32 +108,45 @@ def fetch(
                     continue
                 ok_ids.append(pg)
                 ok_pos.append(i)
-            if ok_ids:
-                ids = np.asarray(ok_ids, dtype=np.uint64)
+
+            def fetch_rows(pos: list[int], page_ids: list[int]) -> None:
+                """'Fetch' the given rows from the synthetic origin
+                (vectorized over however many rows are due at once)."""
+                if not pos:
+                    return
+                ids = np.asarray(page_ids, dtype=np.uint64)
                 true_host = synth.host_of(ids, cfg)
                 true_priv = synth.is_private(ids, cfg)
                 bodies = synth.html_for(ids, cfg)
                 ts = synth.warc_ts_us(ids, cfg)
-                ts_col = np.zeros(n, dtype=np.int64)
-                for k, i in enumerate(ok_pos):
+                for k, i in enumerate(pos):
                     h, pg, priv = parsed[i]
                     if int(true_host[k]) == h and bool(true_priv[k]) == priv:
                         status[i] = 200
                         html[i] = bodies[k]
                         ts_col[i] = ts[k]
+
             # politeness clock: i-th fetch in a (host, salt) lane waits
             # i * crawl_delay (a salt = one politeness lane; SURVEY.md §7.4)
             delay = b["crawl_delay_ms"].fillna(0).to_numpy(dtype=np.int64)
             seq = b.groupby(["host", "salt"], sort=False).cumcount().to_numpy(dtype=np.int64)
             sched_off = seq * delay
             if pacing == "wall":
-                pace_wall_clock(sched_off, time_scale)
-            if ok_ids:
-                warc = pd.Series(
-                    [pd.Timestamp(int(ts_col[i]), unit="us") if status[i] == 200 else pd.NaT for i in range(n)]
-                )
+                # gate EACH fetch at its due time (not sleep-after-burst):
+                # on_due fires the row's fetch the moment its slot arrives
+                pos_by_row = {i: k for k, i in enumerate(ok_pos)}
+
+                def one(i: int) -> None:
+                    k = pos_by_row.get(i)
+                    if k is not None:
+                        fetch_rows([i], [ok_ids[k]])
+
+                pace_wall_clock(sched_off, time_scale, on_due=one)
             else:
-                warc = pd.Series([pd.NaT] * n)
+                fetch_rows(ok_pos, ok_ids)
+            warc = pd.Series(
+                [pd.Timestamp(int(ts_col[i]), unit="us") if status[i] == 200 else pd.NaT for i in range(n)]
+            )
             yield pd.DataFrame(
                 {
                     "url": b["url"].to_numpy(),

@@ -185,15 +185,23 @@ def remove_from_filters(blobs: DataFrame, keys: DataFrame, n_buckets: int) -> Da
     def drop(key, kdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
         if bdf.empty:
             return pd.DataFrame(columns=["bucket", "nbuckets", "tbl", "stash"])
-        r = bdf.iloc[0]
-        nb = int(r["nbuckets"])
-        tbl = np.frombuffer(r["tbl"], dtype=np.uint16).reshape(nb, _ck.SLOTS).copy()
-        stash = np.frombuffer(r["stash"], dtype=np.uint16)
+        nb = int(bdf["nbuckets"].iloc[0])
+        # several blob rows per bucket can exist mid-merge (same shape
+        # _dedup_bucket_probe handles): fold them FIRST so no row's
+        # fingerprints are silently dropped, then delete from the fold
+        tbl, stash = None, None
+        for _, r in bdf.iterrows():
+            t = np.frombuffer(r["tbl"], dtype=np.uint16).reshape(nb, _ck.SLOTS)
+            s = np.frombuffer(r["stash"], dtype=np.uint16)
+            if tbl is None:
+                tbl, stash = t.copy(), s.copy()
+            else:
+                tbl, stash = _ck.merge(tbl, stash, t, s)
         if not kdf.empty:
             stash, _ = _ck.delete(kdf["url_hash"].to_numpy(dtype=np.int64), tbl, stash)
         return pd.DataFrame(
             {
-                "bucket": [int(r["bucket"])],
+                "bucket": [int(bdf["bucket"].iloc[0])],
                 "nbuckets": [nb],
                 "tbl": [tbl.tobytes()],
                 "stash": [stash.tobytes()],

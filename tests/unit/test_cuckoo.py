@@ -97,6 +97,27 @@ def test_cuckoo_dedup_equals_bloom_and_exact(spark):
     assert exact == bcast == bucket
 
 
+def test_delete_then_merge_never_clobbers_survivors():
+    """Regression (r3 review): delete used to zero a slot in place,
+    leaving a hole; a later merge's packed-slot arithmetic wrote PAST the
+    hole and overwrote a live fingerprint → false negative. Delete now
+    swap-removes to keep buckets packed. Exercise: fill buckets, delete
+    some keys, merge a delta, then every survivor AND every delta key
+    must still report present."""
+    rng = np.random.default_rng(99)
+    nb = 1 << 6  # tiny → buckets actually fill
+    a = np.unique(rng.integers(-(2**63), 2**63 - 1, size=200, dtype=np.int64))
+    tbl, stash = cuckoo.build(a, nb)
+    victims, survivors = a[::3], np.setdiff1d(a, a[::3])
+    stash, n = cuckoo.delete(victims, tbl, stash)
+    assert n == len(victims)
+    b = np.unique(rng.integers(-(2**63), 2**63 - 1, size=150, dtype=np.int64))
+    tb, sb = cuckoo.build(b, nb)
+    tm, sm = cuckoo.merge(tbl, stash, tb, sb)
+    assert cuckoo.query(survivors, tm, sm).all()
+    assert cuckoo.query(b, tm, sm).all()
+
+
 from hypothesis import given, settings, strategies as st
 
 _keys_st = st.lists(
@@ -128,6 +149,23 @@ def test_property_merge_preserves_membership(a, b):
     both = np.union1d(ka, kb)
     if len(both):
         assert cuckoo.query(both, tm, sm).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_keys_st, _keys_st)
+def test_property_delete_then_merge_membership(a, b):
+    """∀ key sets: merge after deletions preserves every survivor and
+    every delta key (the packed-slot invariant under churn)."""
+    ka = np.asarray(a, dtype=np.int64)
+    kb = np.asarray(b, dtype=np.int64)
+    ta, sa = cuckoo.build(ka, nb=1 << 7)
+    victims = ka[::2]
+    sa, _ = cuckoo.delete(victims, ta, sa)
+    tb, sb = cuckoo.build(kb, nb=1 << 7)
+    tm, sm = cuckoo.merge(ta, sa, tb, sb)
+    keep = np.union1d(np.setdiff1d(ka, victims), kb)
+    if len(keep):
+        assert cuckoo.query(keep, tm, sm).all()
 
 
 @settings(max_examples=30, deadline=None)

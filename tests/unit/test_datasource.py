@@ -93,6 +93,20 @@ def test_filtered_query_end_to_end(spark):
     assert all(50 <= r.page_id < 90 for r in got)
 
 
+def test_contradictory_host_filters_return_empty(spark):
+    """Two different host equalities in conjunction: the reader absorbs
+    one and must yield the other back to Spark so the post-scan filter
+    produces the correct EMPTY result (r3 review: last-writer-wins would
+    silently return one host's rows)."""
+    _register(spark)
+    got = (
+        _load(spark)
+        .filter((F.col("host") == "h1.example") & (F.col("host") == "h2.example"))
+        .count()
+    )
+    assert got == 0
+
+
 def test_stream_reader_offsets_and_replay():
     """Offset protocol: read() advances page_id by rows_per_batch and
     returns that chunk; readBetweenOffsets replays exactly the same rows

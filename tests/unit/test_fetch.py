@@ -139,13 +139,19 @@ def test_pace_wall_clock_spacing():
         sleeps.append(s)
         clock["t"] += s
 
-    emitted = pace_wall_clock(offsets, time_scale=0.5, now=now, sleep=sleep)
+    fired: list[int] = []
+    emitted = pace_wall_clock(
+        offsets, time_scale=0.5, now=now, sleep=sleep, on_due=fired.append
+    )
     # per-lane spacing: each step is 200 ms × 0.5 scale = 0.1 s
     for lane in (emitted[0::2], emitted[1::2]):
         for a, b in zip(lane, lane[1:]):
             assert b - a >= 0.1 - 1e-9
     assert sum(sleeps) > 0  # it actually waited on the (fake) clock
     assert max(emitted) >= 0.4 * 0.5 - 1e-9  # last due offset honored
+    # the fetch callback fires AT each due time, in due order — the
+    # request itself is gated, not just followed by sleeps
+    assert fired == sorted(range(6), key=lambda i: (offsets[i], i))
 
 
 def test_observe_fetch_counters_match_data(spark):
