@@ -76,10 +76,31 @@ class CrawlCfg:
     fetch_broadcast_max_bytes: int = 512 << 20
 
 
-# per-origin-path memo of fetch.detect_unique_captures (a corpus property;
-# see run_round). Process-lifetime is the right scope: the bench and driver
-# reuse one origin path across many rounds/runs.
-_UNIQUE_CAPTURES_CACHE: dict[str, bool] = {}
+# per-origin memo of fetch.detect_unique_captures (a corpus property; see
+# run_round). Keyed on (path, latest-mtime signature) so a parquet dir
+# REWRITTEN at a reused path re-detects instead of serving a stale answer
+# (ADVICE r03). Process-lifetime is the right scope: the bench and driver
+# reuse one immutable origin path across many rounds/runs.
+_UNIQUE_CAPTURES_CACHE: dict[tuple, bool] = {}
+
+
+def _corpus_cache_key(path: str) -> tuple:
+    """(path, max-mtime-ns, n-files) of the parquet dir — cheap local-fs
+    change signature. Non-local paths (s3a:// etc.) fall back to path-only
+    keying; callers there own invalidation via corpus_unique_captures."""
+    import os
+
+    try:
+        names = os.listdir(path)
+    except (OSError, ValueError):
+        return (path,)
+    mt = 0
+    for n in names:
+        try:
+            mt = max(mt, os.stat(os.path.join(path, n)).st_mtime_ns)
+        except OSError:
+            pass
+    return (path, mt, len(names))
 
 
 def init_crawl(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, seeds=None, seed_df=None) -> None:
@@ -143,13 +164,15 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
             # the answer is a property of the (fixed) origin corpus, not of
             # the round — detect once per PATH and memoize module-side so a
             # multi-round crawl doesn't re-run the full groupBy(url)
-            # detection job every round (ADVICE r02). Keyed on the path,
-            # not mutated onto the caller's cfg: a cfg repointed at a
-            # different origin must re-detect (r3 review)
-            uc = _UNIQUE_CAPTURES_CACHE.get(cfg.corpus_bodies_path)
+            # detection job every round (ADVICE r02). Keyed on
+            # (path, mtime signature), not mutated onto the caller's cfg: a
+            # cfg repointed at a different origin — or the same path
+            # rewritten in-process — must re-detect (r3 review, ADVICE r03)
+            ck = _corpus_cache_key(cfg.corpus_bodies_path)
+            uc = _UNIQUE_CAPTURES_CACHE.get(ck)
             if uc is None:
                 uc = fetch_mod.detect_unique_captures(bodies)
-                _UNIQUE_CAPTURES_CACHE[cfg.corpus_bodies_path] = uc
+                _UNIQUE_CAPTURES_CACHE[ck] = uc
         fetched = fetch_mod.fetch_from_corpus(
             sched, bodies, cfg.num_partitions, uc,
             max_broadcast_bytes=cfg.fetch_broadcast_max_bytes,

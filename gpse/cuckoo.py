@@ -7,7 +7,7 @@ negatives IMPOSSIBLE (property-tested). What cuckoo adds over bloom is
 `delete` — a crawl that expires URLs (re-crawl windows, robots flips) can
 remove keys from the pre-filter instead of rebuilding it.
 
-Standard partial-key cuckoo filter [Fan et al., CoNLL'14 public design]:
+Standard partial-key cuckoo filter [Fan et al., CoNEXT'14 public design]:
 `nb` buckets (power of two) × `SLOTS` slots of 16-bit fingerprints;
 a key's two candidate buckets are i1 = h(key) & (nb-1) and
 i2 = i1 XOR (h(fp) & (nb-1)) — the XOR trick makes the pair recoverable

@@ -274,19 +274,45 @@ class AtomicDirWriter(DataSourceWriter):
         import json
         import os
 
+        manifest_path = os.path.join(self.path, "_SUCCESS")
+        prior: list = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as f:
+                prior = json.load(f).get("files", [])
+
         final = []
         for m in messages:
             if m is None or m.n_rows == 0:
                 if m is not None and os.path.exists(m.path):
                     os.remove(m.path)
                 continue
-            dst = m.path.replace("_tmp-", "part-")
+            # Rename only the basename: a directory whose NAME contains
+            # "_tmp-" must not be touched by the tmp→part rename.
+            dst = os.path.join(
+                os.path.dirname(m.path),
+                os.path.basename(m.path).replace("_tmp-", "part-", 1),
+            )
             os.replace(m.path, dst)
             final.append({"file": os.path.basename(dst), "n_rows": m.n_rows})
-        tmp = os.path.join(self.path, "_SUCCESS.tmp")
+
+        if self.overwrite:
+            # Truncate semantics: the new manifest lists only this job's
+            # files, and the superseded data files are removed so
+            # non-manifest readers can't resurrect them.
+            stale = {e["file"] for e in prior} - {e["file"] for e in final}
+            for name in stale:
+                p = os.path.join(self.path, name)
+                if os.path.exists(p):
+                    os.remove(p)
+        else:
+            # Append semantics: previously committed files stay visible —
+            # merge the prior manifest into the new one (catalog parity).
+            final = prior + final
+
+        tmp = manifest_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"files": final}, f)
-        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))  # atomic commit point
+        os.replace(tmp, manifest_path)  # atomic commit point
 
     def abort(self, messages) -> None:
         import os

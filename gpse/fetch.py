@@ -45,6 +45,7 @@ def pace_wall_clock(
     now: Callable[[], float] | None = None,
     sleep: Callable[[float], None] | None = None,
     on_due: Callable[[int], None] | None = None,
+    on_due_batch: Callable[[list[int]], None] | None = None,
 ) -> list[float]:
     """Sleep each fetch to its politeness due-time on the wall clock AND
     issue it there: rows are visited in due order; before each, sleep
@@ -56,19 +57,38 @@ def pace_wall_clock(
     `offsets_ms[i]` is row i's due offset from the batch start (already
     spaced by i_lane × crawl_delay per (host, salt) lane). Returns the
     per-row emission times relative to t0 (testable with injected
-    now/sleep — the unit test uses a fake clock, so no real sleeping)."""
+    now/sleep — the unit test uses a fake clock, so no real sleeping).
+
+    Rows sharing one due instant (zero-delay hosts, parallel lanes) are
+    issued as ONE group: a single sleep, then `on_due_batch(group)` — so a
+    delay-0 batch stays vectorized instead of degrading to per-row Python
+    (VERDICT r03 §wrong-3)."""
     now = now or time.monotonic
     sleep = sleep or time.sleep
     t0 = now()
     emitted = np.zeros(len(offsets_ms), dtype=np.float64)
-    for i in np.argsort(offsets_ms, kind="stable"):
-        due = t0 + (float(offsets_ms[i]) / 1000.0) * time_scale
+    order = np.argsort(offsets_ms, kind="stable")
+    j = 0
+    while j < len(order):
+        # group all rows due at the same offset (same politeness slot)
+        g = j + 1
+        off = offsets_ms[order[j]]
+        while g < len(order) and offsets_ms[order[g]] == off:
+            g += 1
+        group = [int(i) for i in order[j:g]]
+        due = t0 + (float(off) / 1000.0) * time_scale
         delta = due - now()
         if delta > 0:
             sleep(delta)
-        if on_due is not None:
-            on_due(int(i))
-        emitted[i] = now() - t0
+        if on_due_batch is not None:
+            on_due_batch(group)
+        elif on_due is not None:
+            for i in group:
+                on_due(i)
+        t_emit = now() - t0
+        for i in group:
+            emitted[i] = t_emit
+        j = g
     return emitted.tolist()
 
 
@@ -132,16 +152,16 @@ def fetch(
             seq = b.groupby(["host", "salt"], sort=False).cumcount().to_numpy(dtype=np.int64)
             sched_off = seq * delay
             if pacing == "wall":
-                # gate EACH fetch at its due time (not sleep-after-burst):
-                # on_due fires the row's fetch the moment its slot arrives
+                # gate each fetch at its due time (not sleep-after-burst);
+                # rows sharing a due instant (delay-0 hosts) go through
+                # fetch_rows as ONE vectorized group (VERDICT r03)
                 pos_by_row = {i: k for k, i in enumerate(ok_pos)}
 
-                def one(i: int) -> None:
-                    k = pos_by_row.get(i)
-                    if k is not None:
-                        fetch_rows([i], [ok_ids[k]])
+                def due_group(rows: list[int]) -> None:
+                    pos = [i for i in rows if i in pos_by_row]
+                    fetch_rows(pos, [ok_ids[pos_by_row[i]] for i in pos])
 
-                pace_wall_clock(sched_off, time_scale, on_due=one)
+                pace_wall_clock(sched_off, time_scale, on_due_batch=due_group)
             else:
                 fetch_rows(ok_pos, ok_ids)
             warc = pd.Series(

@@ -23,11 +23,15 @@ local[32] and across resume — the north_rule's "matching crawl ordering".
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpse import robots as R
 from gpse.urlnorm import canonicalize_udf, extract_host
+
+_LOG = logging.getLogger("gpse.frontier")
 
 FRONTIER_SCHEMA = (
     "round int, url string, url_hash long, host string, salt smallint, "
@@ -37,6 +41,9 @@ DEFAULT_BUDGET = 16
 # batch caps beyond this stop using the driver-merged TakeOrderedAndProject
 # and switch to the distributed threshold cut (_distributed_cap)
 CAP_DRIVER_MERGE_MAX = 100_000
+# _distributed_cap collects one (priority, count) row per distinct priority;
+# sane for depth-derived priorities, a bug for continuous scores
+CAP_MAX_PRIORITY_GROUPS = 10_000
 
 
 def _finish(df: DataFrame, round_n: int, n_salts: int) -> DataFrame:
@@ -107,6 +114,19 @@ def _distributed_cap(ok: DataFrame, k: int) -> tuple[float, int] | None:
          (≈ 2·eps·group) is exactly sorted (driver-merged limit) to find
          the true m-th value h_max.
     All jobs run on the scheduler's persisted slim window set."""
+    # priority is depth-derived (~max_depth distinct values) — the collect
+    # below is tiny ONLY under that assumption. If priority ever becomes a
+    # continuous score, fail loudly instead of silently collecting a
+    # driver-sized group list (ADVICE r03).
+    n_prio = ok.agg(
+        F.approx_count_distinct("priority").alias("n")
+    ).collect()[0]["n"]
+    if n_prio > CAP_MAX_PRIORITY_GROUPS:
+        raise ValueError(
+            f"_distributed_cap: ~{n_prio} distinct priorities exceeds the "
+            f"{CAP_MAX_PRIORITY_GROUPS} group-collect cap; a continuous "
+            "priority needs a quantile-on-priority cut, not this path"
+        )
     pc = sorted(
         (r["priority"], r["n"])
         for r in ok.groupBy("priority").agg(F.count("*").alias("n")).collect()
@@ -130,25 +150,36 @@ def _distributed_cap(ok: DataFrame, k: int) -> tuple[float, int] | None:
     frac = m / g
     # bracket sized so the exact-sort slice stays ~tens of thousands of rows
     eps = max(1e-4, min(0.01, 50_000.0 / g))
-    lo_p, hi_p = max(0.0, frac - 2 * eps), min(1.0, frac + 2 * eps)
-    h_lo, h_hi = grp.approxQuantile("url_hash", [lo_p, hi_p], eps)
-    c2 = grp.filter(F.col("url_hash") < h_lo).count()
-    need = m - c2
-    if need <= 0 or c2 + grp.filter(
-        (F.col("url_hash") >= h_lo) & (F.col("url_hash") <= h_hi)
-    ).count() < m:
-        # quantile guarantee violated (shouldn't happen) — fall back to the
-        # exact but driver-merged pick within the group
-        h_max = (
-            grp.orderBy("url_hash").limit(m).agg(F.max("url_hash")).collect()[0][0]
+    for attempt, width in enumerate((2.0, 8.0)):
+        lo_p = max(0.0, frac - width * eps)
+        hi_p = min(1.0, frac + width * eps)
+        h_lo, h_hi = grp.approxQuantile("url_hash", [lo_p, hi_p], eps)
+        c2 = grp.filter(F.col("url_hash") < h_lo).count()
+        need = m - c2
+        bracket_n = grp.filter(
+            (F.col("url_hash") >= h_lo) & (F.col("url_hash") <= h_hi)
+        ).count()
+        if need > 0 and c2 + bracket_n >= m:
+            h_max = (
+                grp.filter((F.col("url_hash") >= h_lo) & (F.col("url_hash") <= h_hi))
+                .orderBy("url_hash")
+                .limit(need)
+                .agg(F.max("url_hash"))
+                .collect()[0][0]
+            )
+            return float(p_star), int(h_max)
+        _LOG.warning(
+            "_distributed_cap: quantile bracket missed the boundary "
+            "(attempt %d, width %.0f*eps, need=%d, c2=%d, bracket_n=%d, "
+            "group=%d) — %s",
+            attempt + 1, width, need, c2, bracket_n, g,
+            "widening bracket" if attempt == 0 else
+            "FALLING BACK to driver-merged exact pick (scale hazard)",
         )
-        return float(p_star), int(h_max)
+    # both brackets missed (approxQuantile guarantee violated twice —
+    # should be unreachable): exact but driver-merged pick within the group
     h_max = (
-        grp.filter((F.col("url_hash") >= h_lo) & (F.col("url_hash") <= h_hi))
-        .orderBy("url_hash")
-        .limit(need)
-        .agg(F.max("url_hash"))
-        .collect()[0][0]
+        grp.orderBy("url_hash").limit(m).agg(F.max("url_hash")).collect()[0][0]
     )
     return float(p_star), int(h_max)
 

@@ -151,6 +151,10 @@ def host_token_bucket_tws(pages: DataFrame, budget_total: int = 5) -> DataFrame:
                 n = len(pdf)
                 take = max(0, min(budget_total - used, n))
                 used += take
+                # state BEFORE yield: if the runner stops consuming the
+                # generator early, the budget spent so far must still be
+                # recorded or a restart over-grants (ADVICE r03)
+                self._used.update((used,))
                 yield pd.DataFrame(
                     {
                         "host": [key[0]] * n,
@@ -158,7 +162,6 @@ def host_token_bucket_tws(pages: DataFrame, budget_total: int = 5) -> DataFrame:
                         "allowed": [True] * take + [False] * (n - take),
                     }
                 )
-            self._used.update((used,))
 
         def close(self) -> None:
             pass

@@ -193,6 +193,53 @@ def test_writer_two_phase_commit(spark, tmp_path):
     assert sorted((r["id"], r["v"]) for r in rows) == [(i, 2 * i) for i in range(100)]
 
 
+def test_writer_second_append_merges_manifest(spark, tmp_path):
+    """Append twice: the second commit must MERGE the prior manifest, not
+    clobber it — manifest-honoring readers keep seeing the first job's
+    rows (ADVICE r03, FileCommitProtocol/catalog append parity)."""
+    import json
+    import os
+
+    _register(spark)
+    d = str(tmp_path / "sink_append2")
+    spark.range(0, 50, 1, 2).selectExpr("id", "id * 2 AS v").write.format(
+        "gpse_synth"
+    ).option("path", d).mode("append").save()
+    spark.range(50, 120, 1, 3).selectExpr("id", "id * 2 AS v").write.format(
+        "gpse_synth"
+    ).option("path", d).mode("append").save()
+    manifest = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert sum(f["n_rows"] for f in manifest["files"]) == 120
+    rows = []
+    for f in manifest["files"]:
+        with open(os.path.join(d, f["file"])) as fh:
+            rows += [json.loads(l) for l in fh]
+    assert sorted(r["id"] for r in rows) == list(range(120))
+
+
+def test_writer_overwrite_truncates_prior_files(spark, tmp_path):
+    """Overwrite mode: the new manifest lists only the new job's files AND
+    the superseded part files are deleted, so neither manifest readers nor
+    plain-directory readers resurrect stale data (ADVICE r03)."""
+    import json
+    import os
+
+    _register(spark)
+    d = str(tmp_path / "sink_overwrite")
+    spark.range(0, 50, 1, 2).selectExpr("id", "id * 2 AS v").write.format(
+        "gpse_synth"
+    ).option("path", d).mode("append").save()
+    old_parts = {f for f in os.listdir(d) if f.startswith("part-")}
+    spark.range(1000, 1010, 1, 1).selectExpr("id", "id * 2 AS v").write.format(
+        "gpse_synth"
+    ).option("path", d).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert sum(f["n_rows"] for f in manifest["files"]) == 10
+    on_disk = {f for f in os.listdir(d) if f.startswith("part-")}
+    assert on_disk == {f["file"] for f in manifest["files"]}
+    assert not (old_parts & on_disk)  # stale files physically gone
+
+
 def test_writer_abort_leaves_no_committed_state(spark, tmp_path):
     """A failing write job must abort: no _SUCCESS manifest and no
     committed part files — only the catalog-style invisible leftovers."""

@@ -154,6 +154,38 @@ def test_pace_wall_clock_spacing():
     assert fired == sorted(range(6), key=lambda i: (offsets[i], i))
 
 
+def test_pace_wall_clock_batches_same_instant_rows():
+    """Rows due at the same instant (a zero-delay host) must be issued as
+    ONE vectorized group, not row-at-a-time (VERDICT r03 §wrong-3)."""
+    import numpy as np
+
+    from gpse.fetch import pace_wall_clock
+
+    clock = {"t": 0.0}
+
+    def now() -> float:
+        return clock["t"]
+
+    def sleep(s: float) -> None:
+        clock["t"] += s
+
+    # delay-0 host: every row due at offset 0 -> exactly one batch call
+    groups: list[list[int]] = []
+    pace_wall_clock(
+        np.zeros(5, dtype=np.int64), now=now, sleep=sleep,
+        on_due_batch=groups.append,
+    )
+    assert groups == [[0, 1, 2, 3, 4]]
+
+    # mixed: two rows at 0, two at 100, one at 200 -> three due groups
+    groups.clear()
+    pace_wall_clock(
+        np.array([0, 100, 0, 200, 100], dtype=np.int64),
+        now=now, sleep=sleep, on_due_batch=groups.append,
+    )
+    assert groups == [[0, 2], [1, 4], [3]]
+
+
 def test_observe_fetch_counters_match_data(spark):
     """df.observe counters (metrics.observe_fetch) must equal a direct
     aggregation of the same fetch log — and cost no extra action."""

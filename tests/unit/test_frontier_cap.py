@@ -78,6 +78,83 @@ def test_distributed_cap_no_cap_needed(spark):
         cl()
 
 
+def test_distributed_cap_priority_cardinality_guard(spark, monkeypatch):
+    """A continuous (high-cardinality) priority must fail LOUDLY instead of
+    silently collecting one row per distinct value (ADVICE r03)."""
+    monkeypatch.setattr(frontier_mod, "CAP_MAX_PRIORITY_GROUPS", 2)
+    ok = spark.range(0, 100).select(
+        (F.col("id").cast("double") / 7.0).alias("priority"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    with pytest.raises(ValueError, match="group-collect cap"):
+        frontier_mod._distributed_cap(ok, 10)
+
+
+def test_distributed_cap_bracket_miss_warns_widens_then_falls_back(
+    spark, monkeypatch, caplog
+):
+    """Force approxQuantile to violate its guarantee: the cut must log a
+    warning, retry a wider bracket, then driver-merge as last resort —
+    never silently — and STILL return the exact TakeOrdered cut
+    (VERDICT r03 next-round #7)."""
+    import logging
+
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is the
+    # abstract base; instances dispatch to classic.dataframe.DataFrame)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    ok = _frontier(spark, n=600).select("priority", "url_hash")
+    k = 250  # boundary lands inside the priority-0.0 tie group (400 rows)
+    want = ok.orderBy("priority", "url_hash").limit(k)
+    want_max = want.agg(F.max("url_hash")).collect()[0][0]
+
+    real_aq = DataFrame.approxQuantile
+    calls = {"n": 0}
+
+    def bad_aq(self, col, probs, eps):
+        calls["n"] += 1
+        mx = self.agg(F.max(col)).collect()[0][0]
+        return [mx, mx]  # c2 = g-1 >= m -> need <= 0: guarantee "violated"
+
+    monkeypatch.setattr(DataFrame, "approxQuantile", bad_aq)
+    with caplog.at_level(logging.WARNING, logger="gpse.frontier"):
+        p_star, h_max = frontier_mod._distributed_cap(ok, k)
+    assert calls["n"] == 2  # initial bracket + one widened retry
+    warns = [
+        r for r in caplog.records if "quantile bracket missed" in r.getMessage()
+    ]
+    assert len(warns) == 2
+    assert "FALLING BACK" in warns[1].getMessage()
+    assert p_star == 0.0 and h_max == want_max  # fallback is still exact
+
+    # and a bracket that recovers on the widened retry warns only once
+    calls["n"] = 0
+    caplog.clear()
+
+    def flaky_aq(self, col, probs, eps):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            mx = self.agg(F.max(col)).collect()[0][0]
+            return [mx, mx]
+        return real_aq(self, col, probs, eps)
+
+    monkeypatch.setattr(DataFrame, "approxQuantile", flaky_aq)
+    with caplog.at_level(logging.WARNING, logger="gpse.frontier"):
+        p2, h2 = frontier_mod._distributed_cap(ok, k)
+    assert calls["n"] == 2
+    assert (
+        len(
+            [
+                r
+                for r in caplog.records
+                if "quantile bracket missed" in r.getMessage()
+            ]
+        )
+        == 1
+    )
+    assert p2 == 0.0 and h2 == want_max
+
+
 def test_distributed_cap_plan_has_no_take_ordered(spark):
     import io
     from contextlib import redirect_stdout
