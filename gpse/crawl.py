@@ -193,12 +193,19 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     # stage re-reads this commit column-pruned (load_delta), so `html`
     # never sits in a wide persist and never travels again. This is the
     # plan shape that survives 100 TB: write once, prune thereafter.
+    #
+    # lang_id's tokenization is materialized ONCE as a projected column
+    # (multi-referenced non-cheap expressions survive CollapseProject) —
+    # the naive lang_id(text) re-splits the text per language through the
+    # filter lambdas Catalyst can't fully CSE: measured 4.7 -> 2.6 s on
+    # the 626k-row bench batch (textfuncs.lang_id_from_tokens).
+    parsed = parsed.withColumn("_toks", textfuncs.tokens(F.col("text")))
     log = parsed.select(
         "url",
         "warc_ts",
         "html",
         "text",
-        textfuncs.lang_id(F.col("text")).alias("lang"),
+        textfuncs.lang_id_from_tokens(F.col("_toks")).alias("lang"),
         "status",
         "url_hash",
         "host",

@@ -30,6 +30,7 @@ once per Arrow-batch stream, and the per-task Python worker stays hot.
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Iterator, Tuple
 
@@ -85,30 +86,166 @@ class _Extractor(HTMLParser):
             self.chunks.append(data)
 
 
+# ---------------------------------------------------------------------------
+# Fast-path tokenizer. stdlib html.parser is pure Python and dominates the
+# extract stage's CPU (profiled: ~78% of extract_one; the crawl round's
+# pages-commit stage is ~46% of round wall — VERDICT r03 #2). Real HTML is
+# overwhelmingly the SIMPLE subset — well-formed tags, quoted attributes, no
+# comments/CDATA inside tag soup — so extract_one first runs a strict
+# regex tokenizer that mirrors HTMLParser's observable behavior EXACTLY on
+# that subset and returns None the moment it sees anything it cannot
+# guarantee byte-identical (a "<!"/"<?" construct, an unmatched "<", an
+# attribute form outside its grammar, a cdata end tag it can't prove).
+# On None, extract_one falls back to the HTMLParser reference path — the
+# frozen spec. Differential tests pin fast == reference on the golden
+# fixtures, the synthetic corpus, and adversarial/fuzzed documents
+# (tests/unit/test_extract.py).
+# ---------------------------------------------------------------------------
+
+# tag name: conservative subset of HTMLParser's tagfind_tolerant — weirder
+# names (containing '<', quotes, '=') bail to the reference parser
+_FAST_START_RE = re.compile(
+    r"([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[a-zA-Z_][-.a-zA-Z0-9:_]*"
+    r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s\"'<>=`]*))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ATTR_RE = re.compile(
+    r"\s+([a-zA-Z_][-.a-zA-Z0-9:_]*)"
+    r"(?:\s*=\s*(\"[^\"<]*\"|'[^'<]*'|[^\s\"'<>=`]*))?"
+)
+_FAST_END_RE = re.compile(r"/([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# script/style content runs to the first '</script' / '</style' (any case),
+# exactly HTMLParser.set_cdata_mode's `interesting` pattern
+_CDATA_END = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+
+
+def _extract_fast(raw: str, links_out: list[str]) -> list[str] | None:
+    """One-pass tokenizer for simple HTML: returns the _Extractor-equivalent
+    `chunks` list (text segments + '\\x00' block separators) and appends raw
+    hrefs to `links_out`, or returns None if the document leaves the simple
+    subset (caller falls back to the HTMLParser reference)."""
+    chunks: list[str] = []
+    skip = 0
+    i, n = 0, len(raw)
+    find = raw.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            if i < n and not skip:
+                seg = raw[i:]
+                chunks.append(unescape(seg) if "&" in seg else seg)
+            break
+        if lt > i and not skip:
+            seg = raw[i:lt]
+            chunks.append(unescape(seg) if "&" in seg else seg)
+        nxt = raw[lt + 1 : lt + 2]
+        if nxt == "/":
+            m = _FAST_END_RE.match(raw, lt + 1)
+            if m is None:
+                return None
+            tag = m.group(1).lower()
+            if tag in _SKIP_TAGS and skip > 0:
+                skip -= 1
+            if tag in _BLOCK_TAGS:
+                chunks.append("\x00")
+            i = m.end()
+        elif nxt.isalpha():
+            m = _FAST_START_RE.match(raw, lt + 1)
+            if m is None:
+                return None
+            tag = m.group(1).lower()
+            if tag in _SKIP_TAGS:
+                skip += 1
+            if tag in _BLOCK_TAGS:
+                chunks.append("\x00")
+            if tag == "a":
+                body = m.group(2)
+                pos = 0
+                for am in _FAST_ATTR_RE.finditer(body):
+                    if am.start() != pos:
+                        return None  # unparsed residue inside the tag
+                    pos = am.end()
+                    if am.group(1).lower() == "href":
+                        v = am.group(2)
+                        if v is not None:
+                            if v[:1] in "\"'":
+                                v = v[1:-1]
+                            links_out.append(unescape(v) if "&" in v else v)
+                        break
+            i = m.end()
+            if m.group(3) == "/":
+                # self-closing = starttag + endtag (HTMLParser's default
+                # handle_startendtag); cdata mode is NOT entered
+                if tag in _SKIP_TAGS and skip > 0:
+                    skip -= 1
+                if tag in _BLOCK_TAGS:
+                    chunks.append("\x00")
+            elif tag in _CDATA_END:
+                mm = _CDATA_END[tag].search(raw, i)
+                if mm is None:
+                    break  # unterminated script/style: rest is (skipped) data
+                me = _FAST_END_RE.match(raw, mm.start() + 1)
+                if me is None or me.group(1).lower() != tag:
+                    return None  # end tag HTMLParser would treat specially
+                # cdata content is data (never unescaped); tag in _SKIP_TAGS
+                # guarantees skip>0 here so it is dropped either way
+                if skip > 0:
+                    skip -= 1
+                if tag in _BLOCK_TAGS:
+                    chunks.append("\x00")
+                i = me.end()
+        else:
+            return None  # "<!--", "<!doctype", "<?", "< ", "<<" — reference path
+    return chunks
+
+
+def _finalize(chunks: list[str], raw_links: list[str], base_url: str) -> Tuple[str, list[str]]:
+    # one whitespace-collapse pass over the whole doc, then split on the
+    # \x00 block sentinels: equivalent to per-line sub (\x00 is not \s, so
+    # no whitespace run ever spans a sentinel) at a fraction of the calls
+    collapsed = _WS_RE.sub(" ", "".join(chunks))
+    lines = []
+    for line in collapsed.split("\x00"):
+        s = line.strip(" ")
+        if s:
+            lines.append(s)
+    links = []
+    for href in raw_links:
+        r = resolve_one(base_url, href)
+        if r is not None:
+            links.append(r)
+    return "\n".join(lines), links
+
+
 def extract_one(html: bytes, base_url: str) -> Tuple[str, list[str]]:
     """Extract (text, canonical outlinks) from one page — the frozen spec.
-    Importable for golden tests; the UDF maps it over Arrow batches."""
+    Importable for golden tests; the UDF maps it over Arrow batches.
+    Tries the fast tokenizer first; any document outside its provably-
+    identical subset re-parses with the HTMLParser reference."""
     if html is None:
         return "", []
     raw = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else str(html)
+    raw_links: list[str] = []
+    chunks = _extract_fast(raw, raw_links)
+    if chunks is not None:
+        return _finalize(chunks, raw_links, base_url)
+    return _extract_reference(raw, base_url)
+
+
+def _extract_reference(raw: str, base_url: str) -> Tuple[str, list[str]]:
+    """The HTMLParser reference path — THE spec; the fast tokenizer must be
+    byte-identical to this wherever it doesn't bail."""
     p = _Extractor()
     try:
         p.feed(raw)
         p.close()
     except Exception:
         pass  # malformed HTML: keep whatever was parsed (deterministic)
-    lines = []
-    for line in "".join(p.chunks).split("\x00"):
-        s = _WS_RE.sub(" ", line).strip()
-        if s:
-            lines.append(s)
-    text = "\n".join(lines)
-    links = []
-    for href in p.links:
-        r = resolve_one(base_url, href)
-        if r is not None:
-            links.append(r)
-    return text, links
+    return _finalize(p.chunks, p.links, base_url)
 
 
 @pandas_udf(EXTRACT_SCHEMA)

@@ -45,6 +45,31 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
 
 
+def lang_id_from_tokens(toks: Column, langs: list[str] | None = None) -> Column:
+    """`lang_id` over an ALREADY-TOKENIZED column. The tokenization
+    (lower + regex split) dominates lang_id's cost and appears once per
+    language in the naive form; Catalyst's subexpression elimination only
+    partially dedups it through the higher-order filter lambdas (measured:
+    4.7 s vs 2.6 s on the 626k-row bench batch). Hot paths (crawl.run_round)
+    materialize `tokens(text)` as a real projected column — multi-referenced
+    non-cheap expressions survive CollapseProject un-inlined — and pass it
+    here; `lang_id` remains the one-argument convenience form."""
+    langs = langs or ["en", "de", "fr", "pl", "es"]
+    n = F.greatest(F.size(toks), F.lit(1))
+    entries = [
+        F.struct(
+            (F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lg]))) / n)
+            .cast("double")
+            .alias("s"),
+            F.lit(-i).alias("ni"),
+            F.lit(lg).alias("lang"),
+        )
+        for i, lg in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
 def lang_id(text: Column, langs: list[str] | None = None) -> Column:
     """argmax of per-language stopword ratio; 'und' if all zero.
 
@@ -54,17 +79,7 @@ def lang_id(text: Column, langs: list[str] | None = None) -> Column:
     the plan blows up exponentially — measured 17s extra on a 110k-row
     batch.) Ties break to the earliest lang in `langs`, matching the SQL
     oracle's >= chain."""
-    langs = langs or ["en", "de", "fr", "pl", "es"]
-    entries = [
-        F.struct(
-            stopword_ratio(text, lg).alias("s"),
-            F.lit(-i).alias("ni"),
-            F.lit(lg).alias("lang"),
-        )
-        for i, lg in enumerate(langs)
-    ]
-    best = F.array_max(F.array(*entries))
-    return F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"])
+    return lang_id_from_tokens(tokens(text), langs)
 
 
 def punct_ratio(text: Column) -> Column:

@@ -124,3 +124,96 @@ def test_parse_extract_rejects_colliding_columns(spark):
     pages = synth.gen_pages(spark, cfg, partitions=1)  # has a `text` column
     with _pytest.raises(ValueError):
         parse_extract(pages)
+
+
+# ---------------------------------------------------------------------------
+# Fast-path tokenizer differentials (r4). The regex tokenizer must be
+# byte-identical to the HTMLParser reference wherever it doesn't bail, and
+# extract_one (fast-with-fallback) must ALWAYS equal the reference.
+# ---------------------------------------------------------------------------
+
+ADVERSARIAL_DOCS = [
+    b"<!DOCTYPE html><p>hi</p>",
+    b"<!-- comment --><p>a</p>",
+    b"<p>a &amp; b &#65; &unknown; &ampx</p>",
+    b"<P CLASS='x'>upper</P>",
+    b"<a href=unquoted/path>u</a>",
+    b"<a href='single'>s</a>",
+    b"<a href>none</a><a href=''>empty</a>",
+    b"<a href='x' href='y'>dup</a>",
+    b"<br/><br /><hr/>",
+    b"<script>var a = '<p>not text</p>';</script><p>real</p>",
+    b"<script>unterminated...",
+    b"<style>p { color: red }</style>tail",
+    b"<SCRIPT>x</SCRIPT><p>after</p>",
+    b"<script>x</script foo><p>weird end</p>",
+    b"<noscript><a href='http://x.example/in-noscript'>n</a></noscript>",
+    b"<template><p>block inside template</p></template>",
+    b"<div><ul><li>a<li>b</ul></div>",
+    b"text < notatag > more",
+    b'<p>unclosed <a href="http://y.example/">link',
+    b'<a href="http://x.example/a?z=1&amp;y=2">ent in href</a>',
+    b'<a href="ends>inside">gt in attr</a>',
+    b'<a href="x" <b>>nested lt</a>',
+    b"<?xml version='1.0'?><p>pi</p>",
+    b"<p>\x00 nul in text</p>",
+    b"<img src='x'/><a href='#frag'>f</a>",
+    b'<a\nhref="http://nl.example/">nl</a>',
+    b'<a href = "http://sp.example/">sp</a>',
+    b"<a href=>eqempty</a>",
+    b"<em>not-block</em><p>b</p>",
+    b"plain text only, no tags at all & an amp",
+    b"<p>a</p junk><p>b</p>",
+    b"<a data-x='1' href='http://h.example/'>attr order</a>",
+    "<p>unicode é中文 &eacute;</p>".encode(),
+    b"<div/>selfclosing block</div>",
+    b"<a href='http://a.example/p' disabled>trailing attr</a>",
+]
+
+
+def test_fast_path_matches_reference_on_adversarial_docs():
+    from gpse.extract import _extract_reference
+
+    for doc in ADVERSARIAL_DOCS:
+        got = extract_one(doc, BASE)
+        ref = _extract_reference(doc.decode("utf-8", "replace"), BASE)
+        assert got == ref, doc
+
+
+def test_fast_path_taken_on_simple_corpus_html():
+    """The synthetic corpus is squarely in the fast subset — every page
+    must take the fast path AND match the reference parser exactly."""
+    import numpy as np
+
+    from gpse import synth
+    from gpse.extract import _extract_fast, _extract_reference
+
+    corpus = synth.CorpusCfg(n_pages=5000, n_hosts=13, seed=7)
+    ids = np.arange(0, 400, dtype=np.uint64) * 7 % 5000
+    urls = synth.url_of(ids, corpus)
+    for h, u in zip(synth.html_for(ids, corpus), urls):
+        raw = h.decode("utf-8", "replace")
+        assert _extract_fast(raw, []) is not None, u
+        assert extract_one(h, u) == _extract_reference(raw, u), u
+
+
+def test_fast_path_fuzz_differential():
+    """Random tag-soup compositions: fast-with-fallback == reference on
+    every document (the fast path may bail, never diverge)."""
+    import random
+
+    from gpse.extract import _extract_reference
+
+    frags = [
+        "<p>", "</p>", "<a href='http://f.example/", "'>", '">',
+        '<a href="', "text", "&amp;", "&#66;", "&", "<", ">", "</a>",
+        "<script>", "</script>", "<!-- c -->", "<br/>", "x y z", "<div",
+        " class='a'", "'", '"', "=", "<template>", "</template>", " ",
+        "\n", "/", "<b>", "</b>", "\x00", "<1>", "<?p?>", "<![CDATA[x]]>",
+        "é中", "&bogus;", "href=", "<a ", "<style>", "</style>",
+        "<A HREF=UP>", "</P >", "<p/>",
+    ]
+    rng = random.Random(421)
+    for _ in range(1500):
+        doc = "".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))
+        assert extract_one(doc.encode(), BASE) == _extract_reference(doc, BASE), repr(doc)
