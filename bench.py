@@ -1,29 +1,39 @@
 """Bench harness (driver contract + BASELINE.md protocol).
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (headline value, per-query min times, URLs/s,
+scaling pairs — kept well under the driver's ~2000-char tail capture,
+VERDICT r03 #1) and writes the FULL detail (per-query samples, per-stage
+walls, steady-state rounds, box-ceiling probes) to `BENCH/last_run.json`:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "crawl": {"urls_per_s_local8": ..., "urls_per_s_local32": ...,
-             "scaling_efficiency": ...}}
+   "queries": {name: min_sec, ...}, "sf": ...,
+   "crawl": {"urls_per_s_local32": ..., "scaling_efficiency_1_to_4": ...}}
 
-Three parts:
+Four parts:
   1. headline relational/pipeline queries at $SPARK_GRAFT_SF_DIR
-     (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — plus a
-     production-parameter MinHash+LSH run (K=128/16 bands, the 100 TB
-     knobs, vs the oracle-sized knobs the correctness gate uses);
+     (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — each run
+     N times in-process and reported as the MIN (same estimator as the
+     crawl phases: external load on this shared VM is strictly additive,
+     so a loaded-box sample can't masquerade as a regression — VERDICT
+     r03 #3) — plus a production-parameter MinHash+LSH run (K=128/16
+     bands, the 100 TB knobs, vs the oracle-sized knobs the correctness
+     gate uses);
   2. the north-star metric — URLs fetched+deduped/sec for a steady-state
      crawl round over a large synthetic frontier — measured at TWO
      parallelism levels (local[N] vs local[4N] cores, the sandbox proxy
      for N vs 4N executors, per task brief) with scaling efficiency
      (T_N / T_4N) / 4 computed per time-adjacent pair. A FIXED,
-     pre-declared number of pairs runs (no adaptive stopping — ADVICE
-     r02); the headline is the min-wall pair (min is the right estimator
-     under strictly-additive external load on this shared VM) with the
+     pre-declared number of pairs runs (3 since r4 — no adaptive
+     stopping, ADVICE r02); the headline is the min-wall pair with the
      median alongside and every pair reported.
   3. a multi-round steady-state run (3 consecutive rounds in one catalog,
      bloom OR-merge + deferred carry-over + append chains exercised, with
      catalog compaction/snapshot-expiry interleaved) reporting per-round
      URLs/s — the evidence that round N+1 costs what round N did.
+  4. the same steady-state loop with seen_filter='cuckoo' (the
+     deletion-capable pre-filter), plus a timed post-loop URL-expiry
+     maintenance op (crawl.expire_urls over a 200k-key sample) — the
+     evidence that cuckoo's re-insert merge stays near bloom's OR cost
+     and that expiry is O(expired) (VERDICT r03 #5/#6).
 
 Every phase runs in its own subprocess (own JVM) with cooldowns between
 phases. Also rewrites BENCH/BASELINE.md with the measured numbers.
@@ -120,12 +130,20 @@ def run_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    out = {}
+    out, samples = {}, {}
+    repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        ts = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+        # min-of-N (VERDICT r03 #3): load on this shared VM is strictly
+        # additive, so min is the unbiased capability estimate; all
+        # samples are reported in the detail file
+        out[name] = min(ts)
+        samples[name] = ts
     # production-parameter MinHash+LSH (VERDICT r02 #4): the correctness
     # gate runs the oracle-sized knobs (K=8/4 bands); this entry executes
     # the 100 TB production knobs (K=128/16 bands) at sf0.1 so the
@@ -153,7 +171,12 @@ def run_queries(spark) -> dict:
     )
     n_ann = ivf_batch_topk(assigned, queries, centers, nprobe=4, k=3).count()
     out["similarity_ivf_batch"] = round(time.time() - t0, 3)
-    return {"queries": out, "minhash_prod_pairs": n_pairs, "ivf_batch_rows": n_ann}
+    return {
+        "queries": out,
+        "query_samples": samples,
+        "minhash_prod_pairs": n_pairs,
+        "ivf_batch_rows": n_ann,
+    }
 
 
 def materialize_origin(spark, corpus, path: str, n_parts: int = 64) -> None:
@@ -184,9 +207,12 @@ def materialize_origin(spark, corpus, path: str, n_parts: int = 64) -> None:
     )
 
 
-def _init_bench_crawl(spark, n_cores: int, bodies_path: str, layout: int):
+def _init_bench_crawl(
+    spark, n_cores: int, bodies_path: str, layout: int,
+    seen_filter: str = "bloom",
+):
     """Shared untimed setup for the crawl phases: warm worker pool, build
-    the pre-filled frontier + seen + bloom + policy in a temp catalog.
+    the pre-filled frontier + seen + pre-filter + policy in a temp catalog.
     Returns (cat, cfg)."""
     from pyspark.sql import functions as F
     from gpse import crawl, frontier, robots, seen as seen_mod, synth
@@ -200,6 +226,12 @@ def _init_bench_crawl(spark, n_cores: int, bodies_path: str, layout: int):
         n_salts=8,
         n_bloom_buckets=layout,
         bloom_bits=1 << 23,   # 1 MiB/bucket — headroom for the ~6M-key post-round seen set
+        seen_filter=seen_filter,
+        # 2^17 buckets × 4 slots/blob × `layout` blobs ≈ 16.8M slots at
+        # layout=32: the ~5M keys of a 3-round steady loop sit at ~30%
+        # occupancy (cuckoo inserts degrade near ~95%), and the blob total
+        # (~34 MB) stays under the 64 MB broadcast-probe threshold
+        cuckoo_nbuckets=1 << 17,
         corpus_bodies_path=bodies_path,
         corpus_unique_captures=True,  # materialize_origin writes one capture/url
     )
@@ -222,7 +254,10 @@ def _init_bench_crawl(spark, n_cores: int, bodies_path: str, layout: int):
     cat.commit("seen_exact", seen0, 0, mode="append")
     cat.commit(
         "seen_bloom",
-        seen_mod.build_blooms(seen0, cfg.n_bloom_buckets, nbits=cfg.bloom_bits),
+        seen_mod.build_filters(
+            seen0, cfg.n_bloom_buckets, kind=cfg.seen_filter,
+            nbits=cfg.bloom_bits, cuckoo_nb=cfg.cuckoo_nbuckets,
+        ),
         0,
         mode="overwrite",
     )
@@ -272,7 +307,10 @@ def crawl_round_throughput(
         shutil.rmtree(cat.base, ignore_errors=True)
 
 
-def steady_state_rounds(spark, n_cores: int, bodies_path: str, n_rounds: int = 3) -> dict:
+def steady_state_rounds(
+    spark, n_cores: int, bodies_path: str, n_rounds: int = 3,
+    seen_filter: str = "bloom",
+) -> dict:
     """N consecutive crawl rounds in ONE catalog (VERDICT r02 #2): the
     timed path exercises what a long crawl actually does — bloom OR-merge
     per round, budget-deferred carry-over, append-chain growth — with
@@ -283,13 +321,23 @@ def steady_state_rounds(spark, n_cores: int, bodies_path: str, n_rounds: int = 3
     is an async maintenance job, never part of the round loop.
 
     Returns per-round summaries + per-maintenance walls; the check is that
-    round N+1 costs what round N did (no round-over-round degradation)."""
+    round N+1 costs what round N did (no round-over-round degradation).
+
+    With seen_filter='cuckoo' the loop exercises the re-insert merge
+    instead of bloom's OR (the only O(occupancy) step — VERDICT r03 #6),
+    and a timed post-loop URL-expiry maintenance op (crawl.expire_urls
+    over a 200k-key sample of the seen set) evidences that expiry cost is
+    O(expired), not O(seen) or O(pages)."""
     import shutil
 
+    from pyspark.sql import functions as F
     from gpse import crawl
 
-    cat, cfg = _init_bench_crawl(spark, n_cores, bodies_path, n_cores)
+    cat, cfg = _init_bench_crawl(
+        spark, n_cores, bodies_path, n_cores, seen_filter=seen_filter
+    )
     rounds, maint = [], []
+    expiry: dict | None = None
     try:
         for r in range(n_rounds):
             rounds.append(_round_summary(crawl.run_round(spark, cat, cfg, r)))
@@ -299,15 +347,28 @@ def steady_state_rounds(spark, n_cores: int, bodies_path: str, n_rounds: int = 3
                 cat.compact(spark, "seen_exact")
                 cat.expire_snapshots("seen_bloom", keep_last=1)
                 maint.append(round(time.time() - t0, 3))
+        if seen_filter == "cuckoo":
+            # timed expiry maintenance: ~200k of the seen keys become
+            # crawlable again (exact layer left_anti + distributed cuckoo
+            # blob delete; bloom would have to rebuild instead)
+            sample = (
+                cat.load(spark, "seen_exact")
+                .select("url_hash")
+                .filter(F.pmod("url_hash", F.lit(29)) == 0)
+            )
+            expiry = crawl.expire_urls(spark, cat, cfg, sample)
     finally:
         shutil.rmtree(cat.base, ignore_errors=True)  # see crawl_round_throughput
     total_sched = sum(x["n_scheduled"] for x in rounds)
     total_wall = sum(x["wall_s"] for x in rounds)
-    return {
+    out = {
         "rounds": rounds,
         "maintenance_s": maint,
         "urls_per_s_overall": round(total_sched / total_wall, 1) if total_wall else 0.0,
     }
+    if expiry is not None:
+        out["expiry"] = expiry
+    return out
 
 
 def _bodies_path() -> str:
@@ -354,6 +415,11 @@ def _phase_main(phase: str, cores: int, layout: int = 0) -> None:
     elif phase == "steady":
         spark = _session(f"local[{cores}]", max(cores * 2, 8))
         out = steady_state_rounds(spark, cores, _bodies_path(), n_rounds=3)
+    elif phase == "steady_cuckoo":
+        spark = _session(f"local[{cores}]", max(cores * 2, 8))
+        out = steady_state_rounds(
+            spark, cores, _bodies_path(), n_rounds=3, seen_filter="cuckoo"
+        )
     else:
         lay = layout or cores
         spark = _session(f"local[{cores}]", max(lay * 2, 8))
@@ -461,6 +527,7 @@ def main() -> None:
     qtimes = headline["queries"]
     crawl_hi = _best_of("crawl", CPUS, max(repeats, 3))  # ~1 min/run: cheap insurance on the headline number
     steady = _run_phase("steady", CPUS)
+    steady_ck = _run_phase("steady_cuckoo", CPUS)
 
     crawl_n = crawl_4n = None
     eff_pairs: list[float] = []
@@ -477,7 +544,9 @@ def main() -> None:
         # additive, so the min wall at each level is the closest to the
         # machine's true capability; the median and all pairs are reported
         # with it.
-        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+        # 3 pre-declared pairs since r4 (VERDICT r03 #4: the 2-pair spread
+        # was too wide for the median to mean much)
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
         pairs = []
         for _ in range(n_pairs):
             t4 = _run_phase("crawl", SCALE_4N, layout=SCALE_4N)
@@ -500,6 +569,7 @@ def main() -> None:
         "minhash_prod_pairs": headline.get("minhash_prod_pairs"),
         "ivf_batch_rows": headline.get("ivf_batch_rows"),
         "steady_state": steady,
+        "steady_state_cuckoo": steady_ck,
     }
     if crawl_n and crawl_4n:
         import statistics
@@ -533,10 +603,54 @@ def main() -> None:
             "value": round(sum(queries.values()), 3),
             "queries": queries,
             "crawl": crawl_info,
+            "query_samples": headline.get("query_samples", {}),
+            "crawl_stage_s": crawl_hi.get("stage_s", {}),
         }
     )
     _write_baseline_md(results)
-    print(json.dumps(results))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/last_run.json", "w") as f:
+        json.dump(results, f, indent=1)
+    # the FINAL stdout line must stay well under the driver's ~2000-char
+    # tail capture (BENCH_r03 overflowed it and parsed as null — VERDICT
+    # r03 #1): print headline metrics only; everything else lives in
+    # BENCH/last_run.json and BENCH/BASELINE.md
+    print(json.dumps(_compact(results)))
+
+
+def _compact(r: dict) -> dict:
+    """Headline-only view of the full results (final-stdout-line budget)."""
+    c = r["crawl"]
+    slim = {
+        k: v
+        for k, v in c.items()
+        if isinstance(v, (int, float, str)) or k == "scaling_efficiency_pairs"
+    }
+    ss = c.get("steady_state") or {}
+    sc = c.get("steady_state_cuckoo") or {}
+    if ss:
+        slim["steady_urls_per_s"] = ss.get("urls_per_s_overall")
+    if sc:
+        slim["steady_cuckoo_urls_per_s"] = sc.get("urls_per_s_overall")
+        if "expiry" in sc:
+            slim["expiry_s"] = sc["expiry"].get("wall_s")
+            slim["expiry_n"] = sc["expiry"].get("n_expired")
+    ceil = c.get("box_scaling_ceiling_composite")
+    if ceil is not None:
+        slim["box_scaling_ceiling_composite"] = ceil
+    slim["detail"] = "BENCH/last_run.json"
+    out = {
+        "metric": r["metric"],
+        "value": r["value"],
+        "unit": r["unit"],
+        "sf": r["sf"],
+        "queries": r["queries"],
+        "crawl": slim,
+    }
+    s = json.dumps(out)
+    if len(s) > 1500:  # belt-and-braces: drop pair detail before queries
+        slim.pop("scaling_efficiency_pairs", None)
+    return out
 
 
 def _write_baseline_md(r: dict) -> None:
@@ -646,8 +760,43 @@ def _write_baseline_md(r: dict) -> None:
             "manifest I/O) over fewer URLs. The degradation check is the "
             "ABSOLUTE recurring costs, which stay flat round-over-round: "
             "bloom delta+merge, seen/frontier commits and maintenance are "
-            "all O(new URLs)/O(1), never O(seen) — see stage_s in the JSON.",
+            "all O(new URLs)/O(1), never O(seen) — see stage_s in "
+            "BENCH/last_run.json.",
         ]
+    sc = c.get("steady_state_cuckoo")
+    if sc:
+        lines += [
+            "",
+            "### Cuckoo pre-filter steady state (same loop, seen_filter='cuckoo')",
+            "",
+            "| round | scheduled | new URLs | wall s | URLs/s | filter merge s |",
+            "| --- | --- | --- | --- | --- | --- |",
+        ]
+        for i, rr in enumerate(sc["rounds"]):
+            lines.append(
+                f"| {i} | {rr['n_scheduled']} | {rr['n_new_urls']} | "
+                f"{rr['wall_s']} | {rr['urls_per_s']} | "
+                f"{rr['stage_s'].get('bloom delta+merge commit', '')} |"
+            )
+        lines += [
+            "",
+            f"Overall: **{sc['urls_per_s_overall']} URLs/s** with the "
+            "deletion-capable cuckoo filter (vs the bloom loop above). The "
+            "merge is a per-bucket re-insert walk — O(delta occupancy), "
+            "the only step that costs more than bloom's OR.",
+        ]
+        exp = sc.get("expiry")
+        if exp:
+            lines += [
+                "",
+                f"**URL-expiry maintenance** (crawl.expire_urls: exact-layer "
+                f"left_anti + frontier scrub + distributed cuckoo blob "
+                f"delete): expired {exp['n_expired']} URLs in "
+                f"**{exp['wall_s']} s** ({exp['n_remaining']} keys remain) — "
+                "O(expired) + one pre-filter pass, never O(pages). Bloom "
+                "filters can't delete; the same op rebuilds them from the "
+                "surviving seen set instead (documented trade-off).",
+            ]
     if c.get("minhash_prod_pairs") is not None:
         lines += [
             "",
@@ -665,7 +814,15 @@ def _write_baseline_md(r: dict) -> None:
             f"{c['ivf_batch_rows']} result rows (numpy-oracle-exact in "
             "tests/unit/test_similarity.py).",
         ]
-    lines += ["", "## Headline query times (sec)", ""]
+    lines += [
+        "",
+        "## Headline query times (sec)",
+        "",
+        "Each query runs N=3 times in one session; the MIN is reported "
+        "(same additive-load reasoning as the crawl phases — VERDICT r03 "
+        "#3); all samples are in BENCH/last_run.json `query_samples`.",
+        "",
+    ]
     for k, v in r["queries"].items():
         lines.append(f"- {k}: {v}")
     with open("BENCH/BASELINE.md", "w") as f:

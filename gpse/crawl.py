@@ -343,6 +343,88 @@ def rollback_incomplete(cat: Catalog) -> int:
     )
 
 
+def expire_urls(
+    spark: SparkSession,
+    cat: Catalog,
+    cfg: CrawlCfg,
+    keys: DataFrame,
+    round_n: int | None = None,
+) -> dict:
+    """Expire URLs from the crawl's memory so they become crawlable again
+    (re-crawl windows, robots flips — the workflow the deletion-capable
+    cuckoo filter exists for; VERDICT r03 #5). `keys` is a DataFrame with
+    an `url_hash` column. After this, the engine behaves as if those URLs
+    were never discovered: the next time a page links to one, it is
+    scheduled and fetched exactly once more.
+
+    Three layers, committed in this order:
+      1. `seen_exact`  — overwrite with `seen ∖ keys` (plain left_anti;
+         the layer correctness depends on).
+      2. `frontier`    — overwrite with `frontier ∖ keys`, so a key that
+         was still QUEUED (deferred) can't be fetched from the stale queue
+         entry AND re-enqueued on rediscovery (a duplicate fetch).
+      3. `seen_bloom`  — cuckoo blobs: distributed delete via
+         seen.remove_from_filters, restricted to keys ∩ seen_exact
+         (deleting a never-inserted key could evict a colliding resident
+         fingerprint → false negative → pre-filter would pass a SEEN url
+         straight through as definitely-new). Bloom blobs can't delete:
+         rebuilt from the surviving seen set (O(seen) — documented cost of
+         choosing bloom; pick seen_filter='cuckoo' where expiry is hot).
+
+    Crash-consistency (resume-safe without a two-table transaction): a
+    stale pre-filter blob that still CONTAINS an expired key only routes
+    the candidate to the exact anti-join, which now passes it as new —
+    the pre-filter is allowed false positives by contract, so every
+    partial-commit state is semantically consistent. The commits use
+    round_n = last_complete_round + 1 (default), which
+    rollback_incomplete preserves across restarts.
+
+    Returns {"n_expired", "n_remaining", "wall_s"}; cost is O(expired) +
+    O(pre-filter maintenance), never O(pages).
+    """
+    t0 = time.time()
+    if round_n is None:
+        last = last_complete_round(cat)
+        round_n = 0 if last is None else last + 1
+    k = keys.select("url_hash").dropDuplicates(["url_hash"]).persist()
+    try:
+        seen = cat.load(spark, "seen_exact")
+        # inserted ∩ expired — computed BEFORE the overwrite (needed for
+        # the cuckoo delete's only-inserted-keys precondition)
+        k_ins = k.join(seen.select("url_hash"), "url_hash", "left_semi").persist()
+        n_expired = k_ins.count()
+        remaining = seen.join(k, "url_hash", "left_anti")
+        cat.commit("seen_exact", remaining, round_n, mode="overwrite")
+        n_remaining = cat.load(spark, "seen_exact").count()
+
+        fr = cat.load(spark, "frontier")
+        cat.commit(
+            "frontier", fr.join(k, "url_hash", "left_anti"), round_n,
+            mode="overwrite",
+        )
+
+        if cfg.use_bloom and cat.exists("seen_bloom"):
+            blobs = cat.load(spark, "seen_bloom")
+            if seen_mod.is_cuckoo_blobs(blobs):
+                upd = seen_mod.remove_from_filters(
+                    blobs, k_ins, cfg.n_bloom_buckets
+                )
+            else:
+                upd = seen_mod.build_filters(
+                    cat.load(spark, "seen_exact"), cfg.n_bloom_buckets,
+                    kind="bloom", nbits=cfg.bloom_bits,
+                )
+            cat.commit("seen_bloom", upd, round_n, mode="overwrite")
+    finally:
+        k_ins.unpersist()
+        k.unpersist()
+    return {
+        "n_expired": int(n_expired),
+        "n_remaining": int(n_remaining),
+        "wall_s": round(time.time() - t0, 3),
+    }
+
+
 def run(
     spark: SparkSession,
     cat: Catalog,
