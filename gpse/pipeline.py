@@ -1088,9 +1088,27 @@ def q_similarity_ann(spark, sf):
     return brute.unionByName(ivf).orderBy("method", "query_id", "rank")
 
 
+def q_similarity_ivf_batch(spark, sf):
+    """Batch ANN over a query TABLE: every embedding vector queries the
+    IVF index at once (ivf_probe_cells in-plan probe + cell-cogrouped
+    numpy GEMM with per-cell partial top-k + window merge — the many-query
+    scale path; queries and vectors each shuffle exactly once, by cell).
+    Rows-only: k-means is not SQL-expressible; the result is pinned
+    numpy-oracle-EXACT over all queries in tests/unit/test_similarity.py."""
+    v = T(spark, sf, "embeddings")
+    assigned, centers = ivf_assign(spark, v)
+    qv = assigned.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_batch_topk(assigned, qv, centers, nprobe=4, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES.update(
     {
         "similarity_ann": (q_similarity_ann, None),
+        "similarity_ivf_batch": (q_similarity_ivf_batch, None),
         "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     }
 )
