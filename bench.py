@@ -503,12 +503,12 @@ def _stage_weights(stage_s: dict, wall_s: float) -> dict:
     probe workload classes (evidence for the box-ceiling composite —
     ADVICE r02 asked that the weights not be hand-picked). The pages
     commit is Arrow-Python-dominated (fetch+parse+extract+write); the
-    dedup/frontier/seen/bloom commits are JVM shuffle/agg; everything
-    else (metrics, counts, scheduling residual) is scan/fixed."""
+    schedule/dedup/frontier/seen/bloom stages are JVM shuffle/sort/agg;
+    everything else (metrics scan+agg, counts, residual) is scan/fixed."""
     pages = stage_s.get("pages commit (fetch+parse+extract+write)", 0.0)
     agg = sum(
         v for k, v in stage_s.items()
-        if k.startswith(("dedup", "seen", "bloom"))
+        if k.startswith(("schedule", "dedup", "seen", "bloom"))
     )
     scan = max(wall_s - pages - agg, 0.0)
     total = max(pages + agg + scan, 1e-9)
