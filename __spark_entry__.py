@@ -182,15 +182,24 @@ def q_multimodal_meta(spark, sf):
     """Multimodal decode plumbing: binary assets → typed metadata via
     Arrow-batched mapInPandas (decode is the deterministic stub — no codecs
     in the container; the Spark-side schema/batching is the real thing).
-    Metadata is byte-derived, so the oracle can mirror it in SQL."""
+    Metadata is byte-derived, so the oracle can mirror it in SQL. The
+    mapInArrow byte-stats surface (zero-copy Arrow batches) is FOLDED into
+    this row as `n_bytes_arrow` — its agreement with the mapInPandas-side
+    `n_bytes` is part of the value hash, which freed one slot in the
+    driver's 50-row window for `warc_roundtrip` (r4 rotation; the
+    standalone multimodal_bytes_arrow entry stays registry-visible past
+    the window, and arrow≡pandas is additionally pytest-pinned)."""
     from gpse import multimodal as M
 
     d = _queries.T(spark, sf, "documents")
-    return (
-        M.decode_assets(M.assets_from_documents(d))
-        .select("asset_id", "kind", "n_bytes", "width", "height", "duration_ms", "channels")
-        .orderBy("asset_id")
+    assets = M.assets_from_documents(d)
+    meta = M.decode_assets(assets).select(
+        "asset_id", "kind", "n_bytes", "width", "height", "duration_ms", "channels"
     )
+    arrow_stats = M.byte_stats_arrow(assets).withColumnRenamed(
+        "n_bytes", "n_bytes_arrow"
+    )
+    return meta.join(arrow_stats, "asset_id").orderBy("asset_id")
 
 
 SQL_MULTIMODAL_META = """
@@ -205,7 +214,8 @@ SELECT asset_id, kind, n_bytes,
        CASE WHEN kind IN ('image','video') THEN 16 * (1 + (n_bytes // 40) % 40) END::INT AS height,
        CASE WHEN kind = 'audio' THEN 250 * (1 + n_bytes % 200)
             WHEN kind = 'video' THEN 1000 * (1 + n_bytes % 90) END::INT AS duration_ms,
-       CASE WHEN kind = 'audio' THEN 1 + n_bytes % 2 END::INT AS channels
+       CASE WHEN kind = 'audio' THEN 1 + n_bytes % 2 END::INT AS channels,
+       n_bytes AS n_bytes_arrow
 FROM a ORDER BY asset_id
 """
 
@@ -270,6 +280,76 @@ def q_extract_text(spark, sf):
         .fillna({"n_links_udtf": 0})
         .orderBy("url")
     )
+
+
+def q_warc_roundtrip(spark, sf):
+    """WARC (ISO 28500) export→import round-trip (gpse/warc.py): build a
+    deterministic pages table from `documents` (url/warc_ts/status/html all
+    doc_id- or text-derived), stream it to two-phase-committed .warc.gz
+    part files, read it BACK through the gpse_warc DataSource (one scan
+    partition per archive file), and report per-row url / warc_ts / status /
+    html length / html md5. Every output value has passed through actual
+    WARC bytes on disk, so the DuckDB oracle — the same expressions computed
+    directly on `documents` — certifies the round-trip is the identity.
+    Scratch handling mirrors q_crawl_round: per-call mkdtemp under one
+    pruned root (collision-free across concurrent driver processes)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from gpse import warc
+
+    root = os.path.join(tempfile.gettempdir(), "gpse_entrywarc")
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 7200
+    for dirname in os.listdir(root):
+        p = os.path.join(root, dirname)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    out = os.path.join(tempfile.mkdtemp(dir=root), "arch")
+
+    d = _queries.T(spark, sf, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("http://w"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_micros(
+            F.lit(1700000000000000) + F.col("doc_id") * 1000003
+        ).alias("warc_ts"),
+        F.when(F.col("doc_id") % 11 == 0, 404)
+        .when(F.col("doc_id") % 7 == 0, 301)
+        .otherwise(200)
+        .cast("int")
+        .alias("status"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    warc.export_warc(pages.repartition(3), out)
+    back = warc.read_warc(spark, out)
+    return back.select(
+        "url",
+        "warc_ts",
+        "status",
+        F.length("html").alias("html_len"),
+        F.md5("html").alias("html_md5"),
+    ).orderBy("url")
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'http://w' || (doc_id % 5) || '.example/doc/' || doc_id AS url,
+       make_timestamp(1700000000000000 + doc_id * 1000003) AS warc_ts,
+       (CASE WHEN doc_id % 11 = 0 THEN 404
+             WHEN doc_id % 7 = 0 THEN 301 ELSE 200 END)::INT AS status,
+       octet_length(encode(text)) AS html_len,
+       md5(text) AS html_md5
+FROM documents ORDER BY url
+"""
 
 
 def q_datasource_read(spark, sf):
@@ -343,6 +423,7 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         "multimodal_features": (q_multimodal_features, None),
         "multimodal_bytes_arrow": (q_multimodal_bytes_arrow, SQL_MULTIMODAL_BYTES),
+        "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
         "datasource_read": (q_datasource_read, None),
     }
     return reg
@@ -359,8 +440,11 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
 # similarity_ivf_batch; the brute-force half keeps its own oracle row via
 # similarity_bruteforce) and multimodal_features (same mapInPandas
 # plumbing as the two oracle-backed multimodal rows) past the window to
-# give the r3 ops driver rows (VERDICT r03 #9). The assertion keeps this
-# list in lockstep with the modules.
+# give the r3 ops driver rows (VERDICT r03 #9). Late-r4: the standalone
+# multimodal_bytes_arrow row also moved past the window — its mapInArrow
+# surface is folded into multimodal_meta's value hash (n_bytes_arrow) —
+# freeing the slot for the oracle-backed warc_roundtrip. The assertion
+# keeps this list in lockstep with the modules.
 _PRIORITY = [
     # north-star URL ops (oracle-backed; url_canonicalize also carries the
     # canonical-dedup invariant columns)
@@ -370,7 +454,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
     "similarity_bruteforce", "similarity_lsh", "corpus_clean",
     "tokens_fingerprints", "lang_id", "quality_scores",
-    "multimodal_meta", "multimodal_bytes_arrow",
+    "multimodal_meta", "warc_roundtrip",
     # relational / window / streaming-semantics / iterative core
     "pricing_summary", "filter_project", "join_agg", "broadcast_chain",
     "semi_join", "anti_join", "nonequi_join", "range_join",
@@ -386,7 +470,7 @@ _PRIORITY = [
     "crawl_round", "crawl_schedule", "extract_text", "similarity_ivf_batch",
     "approx_sketches", "datasource_read",
     # ---- past the driver's 50-row window: registry-visible, pytest-pinned
-    "similarity_ann", "multimodal_features",
+    "similarity_ann", "multimodal_features", "multimodal_bytes_arrow",
 ]
 
 

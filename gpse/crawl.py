@@ -54,7 +54,14 @@ class CrawlCfg:
     # pre-filter family: 'bloom' (default; smallest blobs) or 'cuckoo'
     # (deletion-capable — gpse/cuckoo.py; same probe paths, same contract)
     seen_filter: str = "bloom"
-    cuckoo_nbuckets: int = 1 << 18  # fixed per-blob buckets → mergeable
+    # fixed per-blob buckets → mergeable. NOTE the default blob total
+    # (n_bloom_buckets=32 × 2^18 × 4 slots × 2 B) is exactly 64 MiB —
+    # precisely AT bloom_broadcast_max_bytes, and the `>` comparison keeps
+    # it on the broadcast-probe path (stash bytes are excluded from the
+    # sizing hint). Raising either knob flips the physical plan to the
+    # bucket-local cogroup probe silently; both paths are parity-tested
+    # (bloom≡cuckoo≡exact e2e), so the flip is safe — just not obvious.
+    cuckoo_nbuckets: int = 1 << 18
     # fetch pacing (synthetic-origin path): 'simulated' stamps the
     # politeness clock without sleeping (deterministic, benchable);
     # 'wall' additionally sleeps each fetch to its due-time (live crawls).
