@@ -445,15 +445,24 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
 # surface is folded into multimodal_meta's value hash (n_bytes_arrow) —
 # freeing the slot for the oracle-backed warc_roundtrip. The assertion
 # keeps this list in lockstep with the modules.
+#
+# Late-r4 #2: the new oracle-backed dedup_clusters (LSH pairs → connected
+# components → representatives, gpse/components.py) takes the slot of
+# quality_scores, which moves past the window: corpus_clean's hash-checked
+# output carries the SAME quality_score values per surviving doc (rounded
+# to 5 dp, with lang_pred and n_tokens beside them), so the quality
+# formula stays oracle-exercised in-window; the standalone row remains
+# registry-visible and pytest/driver-independent.
 _PRIORITY = [
     # north-star URL ops (oracle-backed; url_canonicalize also carries the
     # canonical-dedup invariant columns)
     "url_canonicalize", "host_extract",
     # training-data pipeline ops (oracle-backed)
     "dedup_exact", "minhash_signatures", "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
     "similarity_bruteforce", "similarity_lsh", "corpus_clean",
-    "tokens_fingerprints", "lang_id", "quality_scores",
+    "tokens_fingerprints", "lang_id",
     "multimodal_meta", "warc_roundtrip",
     # relational / window / streaming-semantics / iterative core
     "pricing_summary", "filter_project", "join_agg", "broadcast_chain",
@@ -471,6 +480,7 @@ _PRIORITY = [
     "approx_sketches", "datasource_read",
     # ---- past the driver's 50-row window: registry-visible, pytest-pinned
     "similarity_ann", "multimodal_features", "multimodal_bytes_arrow",
+    "quality_scores",
 ]
 
 

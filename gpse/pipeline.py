@@ -218,6 +218,50 @@ SQL_LSH = _sql_lsh()
 
 
 # --------------------------------------------------------------------------
+# near-dup clusters: pairs → connected components → representatives
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(spark, sf):
+    """Near-dup clustering end-to-end: MinHash-LSH candidate pairs (oracle
+    knobs) → connected components (alternating large-star/small-star,
+    gpse/components.py) → per-doc (cluster_id, cluster_size, keep) where
+    keep marks the min-id representative — filtering on it IS the
+    transitive near-dedup a production corpus needs (A~B, B~C ⇒ one
+    survivor for {A,B,C}, which the raw PAIR list cannot express). The
+    data-dependent ITERATIVE loop is value-checked whole: the DuckDB
+    oracle computes the same closure with a recursive CTE."""
+    from gpse.components import dedup_clusters as _clusters
+
+    d = T(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(d, k=MINHASH_K_ORACLE),
+        k=MINHASH_K_ORACLE,
+        bands=LSH_BANDS_ORACLE,
+    )
+    return _clusters(d.select("doc_id"), pairs).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_sql_lsh()}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+labels AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (doc_id = cluster_id) AS keep
+FROM labels ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard near-dup scores
 # --------------------------------------------------------------------------
 
@@ -746,6 +790,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
