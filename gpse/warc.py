@@ -465,3 +465,36 @@ def export_warc(pages_df, path: str, mode: str = "errorifexists") -> None:
         .mode(mode)
         .save()
     )
+
+
+def export_incremental(
+    spark, cat, path: str, since_round: int | None = None, table: str = "pages"
+) -> dict:
+    """Export only the pages committed AFTER `since_round` as WARC —
+    the incremental-archive workflow (each crawl round ships its delta to
+    the archive ecosystem without rewriting history). Reads each later
+    round's DELTA commit (catalog changelog read — never the full table,
+    compaction rewrites skipped), appends .warc.gz parts under `path` via
+    the two-phase writer, and returns {"rounds", "n_pages", "next_since"}
+    — persist next_since and pass it back on the next call; re-exporting
+    an already-shipped round would append duplicate records (same
+    single-writer watermark discipline as any append sink).
+
+    Cost is O(new pages) per call at any corpus size."""
+    lo = -1 if since_round is None else since_round
+    rounds = sorted(
+        {
+            s["round"]
+            for s in cat.snapshots(table)
+            if s["round"] > lo and s.get("data_dir") and not s.get("compaction")
+        }
+    )
+    if not rounds:
+        return {"rounds": [], "n_pages": 0, "next_since": lo}
+    delta = None
+    for r in rounds:
+        d = cat.load_delta(spark, table, r).select(*WRITE_COLS)
+        delta = d if delta is None else delta.unionByName(d)
+    export_warc(delta, path, mode="append")
+    n = delta.count()
+    return {"rounds": rounds, "n_pages": int(n), "next_since": rounds[-1]}

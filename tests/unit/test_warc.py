@@ -190,3 +190,55 @@ def test_uncommitted_tmp_files_invisible(spark, tmp_path):
         f.write(warc.format_record("http://orphan/", 2, 200, b"o"))
     urls = [r["url"] for r in warc.read_warc(spark, out).collect()]
     assert urls == [ADVERSARIAL[0][0]]
+
+
+# --------------------------------------------------------------------------
+# export_incremental — per-round delta archival via the catalog changelog
+# --------------------------------------------------------------------------
+
+def _pages(spark, lo, hi):
+    return _mk_df(
+        spark,
+        [(f"http://h{i % 3}.example/p{i}", 1_600_000_000_000_000 + i, 200, b"<b>%d</b>" % i)
+         for i in range(lo, hi)],
+    )
+
+
+def test_export_incremental_ships_only_new_rounds(spark, tmp_path):
+    from gpse.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    arch = str(tmp_path / "arch")
+    cat.commit("pages", _pages(spark, 0, 2), 0, mode="append")
+    cat.commit("pages", _pages(spark, 2, 5), 1, mode="append")
+    r1 = warc.export_incremental(spark, cat, arch)
+    assert r1 == {"rounds": [0, 1], "n_pages": 5, "next_since": 1}
+    assert warc.read_warc(spark, arch).count() == 5
+    # nothing new -> no-op, watermark unchanged, archive untouched
+    r2 = warc.export_incremental(spark, cat, arch, since_round=r1["next_since"])
+    assert r2 == {"rounds": [], "n_pages": 0, "next_since": 1}
+    cat.commit("pages", _pages(spark, 5, 7), 2, mode="append")
+    r3 = warc.export_incremental(spark, cat, arch, since_round=r1["next_since"])
+    assert r3 == {"rounds": [2], "n_pages": 2, "next_since": 2}
+    back = warc.read_warc(spark, arch)
+    assert back.count() == 7
+    assert {r["url"] for r in back.collect()} == {
+        f"http://h{i % 3}.example/p{i}" for i in range(7)
+    }
+
+
+def test_export_incremental_skips_compaction_rewrites(spark, tmp_path):
+    """A compaction snapshot rewrites the WHOLE table at the current round;
+    treating it as a delta would re-archive every page ever committed."""
+    from gpse.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    arch = str(tmp_path / "arch")
+    cat.commit("pages", _pages(spark, 0, 4), 0, mode="append")
+    out = warc.export_incremental(spark, cat, arch)
+    assert out["n_pages"] == 4
+    cat.compact(spark, "pages")
+    cat.commit("pages", _pages(spark, 4, 6), 1, mode="append")
+    out = warc.export_incremental(spark, cat, arch, since_round=out["next_since"])
+    assert out == {"rounds": [1], "n_pages": 2, "next_since": 1}
+    assert warc.read_warc(spark, arch).count() == 6
