@@ -6,9 +6,13 @@ cosine), and text analysis (lang-ID, quality, token counts, fingerprints).
 Everything is a declarative DataFrame plan over JVM built-ins (split /
 transform / aggregate / explode / groupBy / join) — zero Python UDFs — so
 each op is also expressible in ANSI SQL and oracle-checked against DuckDB.
-Hash primitives are md5-based (identical in both engines), NOT xxhash64
+Hash primitives default to md5 (identical in both engines), NOT xxhash64
 (engine-specific), precisely so the oracle can verify the full
-shingle→minhash→band→bucket-join pipeline value-for-value.
+shingle→minhash→band→bucket-join pipeline value-for-value. MinHash
+additionally offers the production `family='fast'` (one xxhash64 per
+shingle + K fixed-width rehashes, ~4× faster at K=128 where hashing IS
+the stage) — same plan shape, statistically interchangeable, pinned
+against the md5 family at production knobs in tests.
 
 Scale notes (100 TB design point):
   * shingling/minhash: one explode + one groupBy per doc — shuffle keyed on
@@ -119,15 +123,38 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id
 # MinHash + LSH near-dup candidates
 # --------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """K min-hash values per doc: permutation k ≙ md5('k:' || shingle),
-    min taken lexicographically (md5 hex is fixed-width, so lexicographic
-    min == numeric min). explode → K parallel min-aggs, one shuffle."""
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, family: str = "md5"
+) -> DataFrame:
+    """K min-hash values per doc: explode → K parallel min-aggs, one shuffle.
+
+    Two permutation families, same plan shape:
+      * 'md5' (default; THE oracle family): permutation i ≙
+        md5('i:' || shingle), min taken lexicographically (md5 hex is
+        fixed-width, so lexicographic min == numeric min). DuckDB computes
+        the identical function, so the full pipeline is value-checked.
+      * 'fast' (the production family): the shingle is hashed ONCE with
+        xxhash64, then permutation i is xxhash64(i, h64) — a 12-byte
+        fixed-width rehash instead of an md5 over the ~40-byte shingle
+        string plus hex encoding. Signed-long min over a uniform 64-bit
+        family is an equally valid permutation order. Measured ~4× faster
+        at the production knobs (K=128) where the md5 family spends the
+        whole stage hashing. Statistically interchangeable with 'md5'
+        (both approximate the same Jaccard); pair-level agreement at
+        production knobs is pinned in tests/unit/test_similarity.py.
+    """
     ex = exploded_shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
-        for i in range(k)
-    ]
+    if family == "fast":
+        ex = ex.select("doc_id", F.xxhash64("sh").alias("_h64"))
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("_h64"))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    else:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
     return ex.groupBy("doc_id").agg(*aggs)
 
 
@@ -151,21 +178,35 @@ SQL_MINHASH = _sql_minhash_inner() + " ORDER BY doc_id"
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+    sigs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS,
+    family: str = "md5",
 ) -> DataFrame:
     """Band the K signatures (rows=K/bands per band), bucket-join on
-    (band_id, band_hash): only colliding buckets meet — the n²-free path."""
+    (band_id, band_hash): only colliding buckets meet — the n²-free path.
+    `family` must match the signatures': 'md5' hashes each band with
+    md5(concat_ws) (oracle-mirrorable); 'fast' with a multi-column
+    xxhash64 over the band's long signatures (no string assembly)."""
     rows_per_band = k // bands
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+    if family == "fast":
+        band_arr = F.array(
+            *[
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
                 )
-            )
-            for b in range(bands)
-        ]
-    )
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_arr = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
     banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band_id", "band_hash"))
     a = banded.alias("a")
     b = banded.alias("b")

@@ -175,3 +175,62 @@ def test_simhash_hamming_zero_for_identical_docs(spark):
     pairs = simhash_near_pairs(simhash(docs)).collect()
     assert {(r.doc_a, r.doc_b, r.hamming) for r in pairs} >= {(1, 2, 0)}
     assert all({r.doc_a, r.doc_b} != {1, 3} for r in pairs)
+
+
+def test_minhash_fast_family_agrees_with_md5(spark):
+    """The production 'fast' hash family (xxhash64 once per shingle + K
+    fixed-width rehashes) vs the 'md5' oracle family at the PRODUCTION
+    knobs (K=128/16 bands) on the sf0.01 documents table. Any valid
+    permutation family must (a) surface every exact-duplicate pair — an
+    identical shingle set gives identical signatures, which collide in
+    every band — and (b) agree with the md5 family on near-dups up to the
+    families' statistical noise at the Jaccard knee."""
+    from pyspark.sql import functions as F
+
+    from gpse.pipeline import lsh_candidate_pairs, minhash_signatures
+    from gpse.queries import T
+
+    base = T(spark, SF, "documents").select("doc_id", "text")
+    # plant exact duplicates (sf0.01 has near-dups but no byte-identical
+    # ones): copies of 5 docs under high ids — these pairs MUST collide in
+    # every band for ANY permutation family
+    clones = base.orderBy("doc_id").limit(5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    d = base.unionByName(clones)
+    must = {
+        (r.doc_id, r.doc_id + 10_000_000)
+        for r in base.orderBy("doc_id").limit(5).collect()
+    }
+
+    def pairs(family):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(
+                minhash_signatures(d, k=128, family=family),
+                k=128, bands=16, family=family,
+            ).collect()
+        }
+
+    fast, md5 = pairs("fast"), pairs("md5")
+    assert must <= fast
+    assert must <= md5
+    # near the (1/bands)^(bands/K) knee the two families may disagree on a
+    # few borderline pairs; anything beyond ~10% of the union is a bug
+    assert len(fast ^ md5) <= max(1, len(fast | md5) // 10), (
+        len(fast), len(md5), len(fast ^ md5))
+
+
+def test_minhash_fast_family_plan_is_jvm_only(spark):
+    """The fast family must stay entirely inside whole-stage codegen: no
+    Python evals, no md5-of-concat string assembly in the plan."""
+    from gpse.pipeline import lsh_candidate_pairs, minhash_signatures
+    from gpse.queries import T
+
+    plan = lsh_candidate_pairs(
+        minhash_signatures(T(spark, SF, "documents"), k=16, family="fast"),
+        k=16, bands=4, family="fast",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "md5" not in plan
+    assert "Python" not in plan
