@@ -428,10 +428,24 @@ def snapshot_diff(
     if value_cols is None:
         shared = [c for c in a.columns if c in set(b.columns)]
         value_cols = [c for c in shared if c not in set(key_cols)]
-    # xxhash64 is null-discriminating per column position, so a NULL →
-    # value flip counts as changed; cast to string first so a type change
-    # between snapshots can't alias two different values to one hash input
-    h = F.xxhash64(*[F.col(c).cast("string") for c in value_cols]) if value_cols else F.lit(0)
+    # Spark's multi-column hash SKIPS null children (the accumulator
+    # passes through unchanged), so xxhash64(NULL,'x') == xxhash64('x',
+    # NULL) — a value MOVING between columns would read as unchanged.
+    # Interleave each column's never-null isNull flag with its value so
+    # every column contributes at least one accumulator update at a fixed
+    # position; cast to string so a type change between snapshots can't
+    # alias two different values to one hash input.
+    h = (
+        F.xxhash64(
+            *[
+                part
+                for c in value_cols
+                for part in (F.col(c).isNull(), F.col(c).cast("string"))
+            ]
+        )
+        if value_cols
+        else F.lit(0)
+    )
     sa = a.select(*key_cols, h.alias("_ha"))
     sb = b.select(*key_cols, h.alias("_hb"))
     j = sa.join(sb, key_cols, "full_outer")

@@ -232,3 +232,22 @@ def test_snapshot_diff_shuffles_hashes_not_bodies(spark, tmp_path):
     for line in plan.splitlines():
         if "Join" in line:
             assert "v#" not in line
+
+
+def test_snapshot_diff_value_moving_between_columns_is_changed(spark, tmp_path):
+    """Spark's multi-column hash skips null children, so without the
+    per-column null flags xxhash64(NULL,'x') == xxhash64('x',NULL) and a
+    value MOVING from one column to another would alias to 'unchanged'
+    (caught r4 review)."""
+    from gpse.catalog import snapshot_diff
+
+    cat = Catalog(str(tmp_path))
+    df0 = spark.createDataFrame([(1, None, "x"), (2, "same", "same")], "k int, a string, b string")
+    df1 = spark.createDataFrame([(1, "x", None), (2, "same", "same")], "k int, a string, b string")
+    cat.commit("t", df0, 0, mode="overwrite")
+    cat.commit("t", df1, 1, mode="overwrite")
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(spark, cat, "t", 0, 1, key_cols=["k"]).collect()
+    }
+    assert got == {1: "changed"}
