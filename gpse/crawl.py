@@ -440,6 +440,123 @@ def expire_urls(
     }
 
 
+def rescore_frontier(
+    spark: SparkSession,
+    cat: Catalog,
+    cfg: CrawlCfg,
+    iterations: int = 3,
+    damping: float = 0.85,
+    rank_weight: float = 0.5,
+    round_n: int | None = None,
+) -> dict:
+    """Re-prioritize the queued frontier from the crawled link graph —
+    the prioritized-crawl maintenance op (the `link_pagerank` query's
+    iterative scoring composed into the engine loop): URLs that many
+    crawled pages link to move ahead of their BFS-depth peers.
+
+    PageRank over edges (page.url_hash → xxhash64(outlink)) from the
+    fetched pages, `iterations` power steps (each ONE shuffle: ranks ⋈
+    edges by src, hash-agg contributions by dst — same plan shape as
+    q_link_pagerank, gpse/queries.py). Dangling nodes leak their mass to
+    the teleport term (the standard simplification; ordering, not mass
+    conservation, is what priority needs). Frontier priority is then
+    RECOMPUTED absolutely — depth·depth_weight − rank_weight·rank/max(rank)
+    — so the op is idempotent: re-running it (or resuming across it)
+    yields the same priorities, never a double-applied adjustment.
+
+    Explicitly OPT-IN: the default loop keeps priority = depth·weight so
+    the north_rule's deterministic crawl ordering stays bit-stable; after
+    a rescore, priorities are continuous, which (a) is still a total
+    order with url_hash as tiebreak, but (b) makes an explicit
+    batch_size > CAP_DRIVER_MERGE_MAX use the quantile-on-priority path
+    unavailable (frontier._distributed_cap fails loudly on >10k distinct
+    priorities) — budget-bounded rounds (batch_size=None, the production
+    shape) are unaffected. Rank sums are float aggregations; values are
+    rounded to 9 dp (like the oracle-checked query) so partition-order
+    ULP noise cannot flip a priority comparison.
+
+    Commits one frontier overwrite snapshot (resume-safe like any other
+    commit: rollback_incomplete discards it if the process dies before
+    the next round's metrics marker). Cost: O(edges)·iterations + one
+    frontier rewrite — an inter-round maintenance job, not part of the
+    round loop at scale. Returns {"n_nodes","n_edges","rank_max","wall_s"}.
+    """
+    t0 = time.time()
+    if round_n is None:
+        last = last_complete_round(cat)
+        round_n = 0 if last is None else last + 1
+    if not cat.exists("pages"):  # nothing crawled yet: no graph, no-op
+        return {"n_nodes": 0, "n_edges": 0, "rank_max": 0.0,
+                "wall_s": round(time.time() - t0, 3)}
+    pages = cat.load(spark, "pages").filter(F.col("status") == 200)
+    edges = (
+        pages.select(F.col("url_hash").alias("src"), F.explode("links").alias("u"))
+        .select("src", F.xxhash64("u").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("nid"))
+        .union(e.select(F.col("dst").alias("nid")))
+        .distinct()
+        .persist()
+    )
+    try:
+        n_nodes = nodes.count()
+        n_edges = e.count()
+        if n_nodes == 0:
+            return {"n_nodes": 0, "n_edges": 0, "rank_max": 0.0,
+                    "wall_s": round(time.time() - t0, 3)}
+        ranks = nodes.select("nid", F.lit(1.0 / n_nodes).alias("rank"))
+        for _ in range(iterations):
+            contrib = (
+                e.join(ranks.withColumnRenamed("nid", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+            )
+            ranks = nodes.join(
+                contrib.withColumnRenamed("dst", "nid"), "nid", "left"
+            ).select(
+                "nid",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+        ranks = ranks.select("nid", F.round("rank", 9).alias("rank")).persist()
+        rank_max = ranks.agg(F.max("rank")).collect()[0][0] or 1.0
+        fr = cat.load(spark, "frontier")
+        rescored = (
+            fr.join(
+                ranks.select(F.col("nid").alias("url_hash"), "rank"),
+                "url_hash",
+                "left",
+            )
+            .withColumn(
+                "priority",
+                F.round(
+                    F.col("depth").cast("double") * F.lit(cfg.depth_weight)
+                    - F.lit(rank_weight)
+                    * F.coalesce(F.col("rank"), F.lit(0.0))
+                    / F.lit(float(rank_max)),
+                    9,
+                ),
+            )
+            .drop("rank")
+        )
+        cat.commit("frontier", rescored, round_n, mode="overwrite")
+        ranks.unpersist()
+    finally:
+        nodes.unpersist()
+        e.unpersist()
+    return {
+        "n_nodes": int(n_nodes),
+        "n_edges": int(n_edges),
+        "rank_max": float(rank_max),
+        "wall_s": round(time.time() - t0, 3),
+    }
+
+
 def run(
     spark: SparkSession,
     cat: Catalog,
