@@ -178,6 +178,49 @@ def q_crawl_round(spark, sf):
     return cat.load(spark, "metrics").orderBy("partition_id")
 
 
+def q_crawl_rescore(spark, sf):
+    """Prioritized-crawl maintenance end-to-end (crawl.rescore_frontier):
+    2 crawl rounds in a temp catalog, link-graph PageRank folded back
+    into frontier priority, returns the 20 highest-priority queued rows.
+    Rows-only: the crawl+rescore composite is engine state, not a SQL
+    view; idempotence/set-safety/boost direction are pinned in
+    tests/e2e/test_rescore.py."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from gpse import crawl, synth
+    from gpse.catalog import Catalog
+
+    cfg = crawl.CrawlCfg(
+        corpus=synth.CorpusCfg(n_pages=400, n_hosts=25, seed=42),
+        batch_size=100,
+        num_partitions=4,
+        n_salts=4,
+    )
+    root = os.path.join(tempfile.gettempdir(), "gpse_entryq")
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 7200
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    cat = Catalog(tempfile.mkdtemp(dir=root))
+    crawl.run(spark, cat, cfg, 2)
+    crawl.rescore_frontier(spark, cat, cfg)
+    return (
+        cat.load(spark, "frontier")
+        .filter(F.col("state") == "queued")
+        .select("url", "url_hash", "priority", "depth")
+        .orderBy("priority", "url_hash")
+        .limit(20)
+    )
+
+
 def q_multimodal_meta(spark, sf):
     """Multimodal decode plumbing: binary assets → typed metadata via
     Arrow-batched mapInPandas (decode is the deterministic stub — no codecs
@@ -419,6 +462,7 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
         "host_extract": (q_host_extract, SQL_HOST_EXTRACT),
         "crawl_schedule": (q_crawl_schedule, None),
         "crawl_round": (q_crawl_round, None),
+        "crawl_rescore": (q_crawl_rescore, None),
         "extract_text": (q_extract_text, None),
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         "multimodal_features": (q_multimodal_features, None),
@@ -479,8 +523,9 @@ _PRIORITY = [
     "crawl_round", "crawl_schedule", "extract_text", "similarity_ivf_batch",
     "approx_sketches", "datasource_read",
     # ---- past the driver's 50-row window: registry-visible, pytest-pinned
+    # (tests/unit/test_registry_window.py replays the driver's protocol)
     "similarity_ann", "multimodal_features", "multimodal_bytes_arrow",
-    "quality_scores",
+    "quality_scores", "crawl_rescore",
 ]
 
 
