@@ -531,8 +531,11 @@ _PRIORITY = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
-    assert set(_PRIORITY) == set(reg), (
-        sorted(set(_PRIORITY) ^ set(reg)) or "priority list out of sync"
+    missing = sorted(set(_PRIORITY) - set(reg))
+    extra = sorted(set(reg) - set(_PRIORITY))
+    assert not missing and not extra, (
+        f"registry out of sync: in _PRIORITY but unregistered={missing}; "
+        f"registered but not in _PRIORITY={extra}"
     )
     return {name: reg[name][0] for name in _PRIORITY}
 

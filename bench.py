@@ -578,6 +578,7 @@ def main() -> None:
         "n_scheduled": crawl_hi["n_scheduled"],
         "n_new_urls": crawl_hi["n_new_urls"],
         "minhash_prod_pairs": headline.get("minhash_prod_pairs"),
+        "minhash_prod_pairs_md5": headline.get("minhash_prod_pairs_md5"),
         "ivf_batch_rows": headline.get("ivf_batch_rows"),
         "steady_state": steady,
         "steady_state_cuckoo": steady_ck,

@@ -45,7 +45,13 @@ from gpse.extract import parse_extract
 @dataclass
 class CrawlCfg:
     corpus: synth.CorpusCfg = field(default_factory=synth.CorpusCfg)
-    batch_size: int | None = 2000   # None = budget-bounded round, no global top-k
+    # None = budget-bounded round, no global top-k (the production shape).
+    # NOTE: after rescore_frontier, priorities are CONTINUOUS — an explicit
+    # batch_size > frontier.CAP_DRIVER_MERGE_MAX then needs the
+    # quantile-on-priority cut that _distributed_cap does not implement and
+    # fails loudly on (>10k distinct priorities). Pair rescore_frontier
+    # with batch_size=None or batch_size ≤ 100k.
+    batch_size: int | None = 2000
     n_salts: int = 8
     num_partitions: int = 32
     n_bloom_buckets: int = 32
@@ -475,13 +481,21 @@ def rescore_frontier(
     rounded to 9 dp (like the oracle-checked query) so partition-order
     ULP noise cannot flip a priority comparison.
 
-    Commits one frontier overwrite snapshot (resume-safe like any other
-    commit: rollback_incomplete discards it if the process dies before
-    the next round's metrics marker). Cost: O(edges)·iterations + one
+    Commits one frontier overwrite snapshot at round_n =
+    last_complete_round + 1 (default), which — like expire_urls's commits —
+    rollback_incomplete PRESERVES across restarts (valid manifest state
+    after a complete round R keeps frontier snapshots at rounds ≤ R+1);
+    idempotence is what makes a post-crash re-run harmless, not rollback.
+    Partial commits from a crashed LATER round are a different matter: the
+    rescore must not fold a round-(last+2) frontier append (uncommitted
+    work — no metrics marker) into an overwrite that rollback would then
+    preserve, so rollback_incomplete runs FIRST (cheap, driver-side
+    manifest prune; ADVICE r04). Cost: O(edges)·iterations + one
     frontier rewrite — an inter-round maintenance job, not part of the
     round loop at scale. Returns {"n_nodes","n_edges","rank_max","wall_s"}.
     """
     t0 = time.time()
+    rollback_incomplete(cat)
     if round_n is None:
         last = last_complete_round(cat)
         round_n = 0 if last is None else last + 1
@@ -489,8 +503,19 @@ def rescore_frontier(
         return {"n_nodes": 0, "n_edges": 0, "rank_max": 0.0,
                 "wall_s": round(time.time() - t0, 3)}
     pages = cat.load(spark, "pages").filter(F.col("status") == 200)
+    # ONE edge set per URL, not per capture (VERDICT r04 wrong-3): after
+    # expire_urls a re-linked URL is fetched again, so pages legitimately
+    # holds ≥2 captures of one url_hash — exploding them all would count
+    # that page's outlinks once PER CAPTURE, inflating deg and its
+    # contributions. Latest capture wins (one hash-agg, no window);
+    # equal-warc_ts captures carry identical links (the fetch is a
+    # deterministic function of the url), so the max_by tie-break cannot
+    # affect the edge set.
+    latest = pages.groupBy("url_hash").agg(
+        F.max_by("links", "warc_ts").alias("links")
+    )
     edges = (
-        pages.select(F.col("url_hash").alias("src"), F.explode("links").alias("u"))
+        latest.select(F.col("url_hash").alias("src"), F.explode("links").alias("u"))
         .select("src", F.xxhash64("u").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
@@ -501,6 +526,7 @@ def rescore_frontier(
         .distinct()
         .persist()
     )
+    ranks_p = None  # persisted handle, released in finally (ADVICE r04)
     try:
         n_nodes = nodes.count()
         n_edges = e.count()
@@ -523,12 +549,12 @@ def rescore_frontier(
                     + F.lit(damping) * F.coalesce("c", F.lit(0.0))
                 ).alias("rank"),
             )
-        ranks = ranks.select("nid", F.round("rank", 9).alias("rank")).persist()
-        rank_max = ranks.agg(F.max("rank")).collect()[0][0] or 1.0
+        ranks_p = ranks.select("nid", F.round("rank", 9).alias("rank")).persist()
+        rank_max = ranks_p.agg(F.max("rank")).collect()[0][0] or 1.0
         fr = cat.load(spark, "frontier")
         rescored = (
             fr.join(
-                ranks.select(F.col("nid").alias("url_hash"), "rank"),
+                ranks_p.select(F.col("nid").alias("url_hash"), "rank"),
                 "url_hash",
                 "left",
             )
@@ -545,8 +571,9 @@ def rescore_frontier(
             .drop("rank")
         )
         cat.commit("frontier", rescored, round_n, mode="overwrite")
-        ranks.unpersist()
     finally:
+        if ranks_p is not None:
+            ranks_p.unpersist()
         nodes.unpersist()
         e.unpersist()
     return {

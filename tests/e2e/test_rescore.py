@@ -75,3 +75,34 @@ def test_rescore_empty_catalog_pages(spark, tmp_path):
     except Exception as exc:
         pytest.fail(f"rescore on page-less catalog should no-op, raised {exc!r}")
     assert res["n_nodes"] == 0
+
+
+def test_rescore_recrawled_page_counts_edges_once(spark, tmp_path):
+    """A URL with ≥2 captures in pages (the expire_urls → re-fetch path)
+    must contribute its outlinks ONCE, not once per capture (VERDICT r04
+    wrong-3): ranks — and therefore rescored priorities — are identical to
+    the single-capture catalog's."""
+    cat_a = Catalog(str(tmp_path / "a"))
+    cat_b = Catalog(str(tmp_path / "b"))
+    crawl.run(spark, cat_a, CFG, 2)
+    crawl.run(spark, cat_b, CFG, 2)
+
+    # re-capture a slice of round-0's fetched pages into catalog B at a
+    # COMPLETE round (round 1 has its metrics marker, so the duplicate
+    # capture survives rescore's rollback_incomplete — exactly like a real
+    # re-fetch committed by a finished round). Later warc_ts, same links:
+    # the latest-capture pick must leave the edge set unchanged.
+    dup = (
+        cat_b.load_delta(spark, "pages", 0)
+        .filter(F.col("status") == 200)
+        .limit(5)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    assert dup.count() > 0
+    cat_b.commit("pages", dup, 1, mode="append")
+
+    crawl.rescore_frontier(spark, cat_a, CFG)
+    crawl.rescore_frontier(spark, cat_b, CFG)
+    pa = {r.url_hash: r.priority for r in cat_a.load(spark, "frontier").collect()}
+    pb = {r.url_hash: r.priority for r in cat_b.load(spark, "frontier").collect()}
+    assert pa == pb

