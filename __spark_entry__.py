@@ -519,13 +519,19 @@ _PRIORITY = [
     "json_funcs", "collection_funcs", "conditional", "correlated_scalar",
     # Python-UDF surfaces (oracle-backed)
     "group_sample", "cogroup_lang_stats",
-    # rows-only (no SQL oracle possible), most important first
-    "crawl_round", "crawl_schedule", "extract_text", "similarity_ivf_batch",
+    # rows-only (no SQL oracle possible), most important first. r5
+    # rotation (VERDICT r04 #5): crawl_rescore gets a real driver row;
+    # its slot comes from crawl_schedule, whose evidence is subsumed by
+    # crawl_round — the round loop's n_scheduled/metrics output exists
+    # only because schedule_batch ran (and the scheduler is separately
+    # pinned by the politeness/robots/determinism e2e suite).
+    "crawl_round", "crawl_rescore", "extract_text", "similarity_ivf_batch",
     "approx_sketches", "datasource_read",
     # ---- past the driver's 50-row window: registry-visible, pytest-pinned
     # (tests/unit/test_registry_window.py replays the driver's protocol)
+    "crawl_schedule",
     "similarity_ann", "multimodal_features", "multimodal_bytes_arrow",
-    "quality_scores", "crawl_rescore",
+    "quality_scores",
 ]
 
 
