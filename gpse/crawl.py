@@ -87,6 +87,10 @@ class CrawlCfg:
     # scheduled batches estimated beyond this stop broadcasting into the
     # corpus fetch join and switch to a shuffled hash join (gpse/fetch.py)
     fetch_broadcast_max_bytes: int = 512 << 20
+    # per-host priority-band head pruning in the scheduler (the budget
+    # window sorts O(head) instead of O(queue); selection is exactly
+    # identical — frontier._split_head). Off switch exists for A/B only.
+    band_pruning: bool = True
 
 
 # per-origin memo of fetch.detect_unique_captures (a corpus property; see
@@ -161,23 +165,22 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     policy = cat.load(spark, "host_policy")
     seen = cat.load(spark, "seen_exact", round_n)
 
-    sched, denied, deferred0, sched_cleanup = frontier_mod.schedule_batch(
-        fr, policy, cfg.batch_size, cfg.num_partitions
-    )
     # The slim scheduled batch feeds several consumers (fetch's broadcast
     # sides, the tie probe, metrics) that would each re-run the whole
     # robots+budget window pipeline — persist it once for the round.
+    # The whole scheduler build + batch materialization sits INSIDE the
+    # timer (the band-head split's count agg and the robots+budget window
+    # all run at sched.count()), so stage_s attribution stays trustworthy
+    # (VERDICT r03). The exact count doubles as the fetch join's sizing
+    # hint.
     from pyspark import StorageLevel
 
-    sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
-    # Materialize the batch HERE, timed: this is where the whole
-    # robots+budget window pipeline actually runs (~5-6 s at the bench
-    # frontier). Untimed, it hid inside the fetch path's sizing count and
-    # made stage_s sum ≈ 12 s short of wall (VERDICT r03 asked for stage
-    # attribution the judge can trust). The exact count doubles as the
-    # fetch join's sizing hint — strictly better than the batch-size
-    # upper bound it replaced.
     with _t("schedule + persist", stages):
+        sched, denied, deferred0, sched_cleanup = frontier_mod.schedule_batch(
+            fr, policy, cfg.batch_size, cfg.num_partitions,
+            band_pruning=cfg.band_pruning,
+        )
+        sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
         n_sched_rows = sched.count()
     if cfg.corpus_bodies_path:
         bodies = spark.read.parquet(cfg.corpus_bodies_path)
@@ -282,7 +285,10 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     new_part = frontier_mod.from_candidates(
         new_urls, round_n + 1, cfg.n_salts, cfg.depth_weight
     ).persist()  # slim (no html); seen/bloom deltas come from this only
-    next_frontier = new_part.unionByName(deferred)
+    # cluster the written generation by priority so row-group min/max
+    # stats line up with the scheduler's priority bands (cheap per-task
+    # sort of slim rows; lets a band-predicate scan prune at file level)
+    next_frontier = new_part.unionByName(deferred).sortWithinPartitions("priority")
     try:
         # seen delta covers ONLY genuinely-new URLs — deferred rows were
         # recorded in seen_exact when first discovered

@@ -8,13 +8,16 @@ schedule_batch is the load-bearing plan (every clause named in the
 north_star):
     filter(state='queued')
   → broadcast join host_policy (robots rules + crawl delay + budget)
-  → robots path filter (vectorized matcher)
+  → robots path filter (vectorized matcher), evaluated once, persisted slim
+  → per-host priority-BAND head split (_split_head): bands a host's budget
+    can no longer reach skip the window entirely → deferred (the window's
+    input is O(head), not O(queue) — VERDICT r04 #3)
   → per-host row_number ≤ budget_per_round          (politeness AT PLAN LEVEL)
   → priority-queue pop: global top-k by (priority, url_hash) — TakeOrdered
     for small k, the distributed exact threshold cut for large k
     (_distributed_cap: no driver merge of k rows)
   → repartition(P, host, salt)                      (salted skew break)
-  → sortWithinPartitions(host, priority, url_hash)  (stable fetch order)
+  → sortWithinPartitions(host, salt, priority, url_hash)  (stable fetch order)
 
 Ordering determinism: (priority, url_hash) is a total, partition-count-
 independent key, so the scheduled batch is identical at local[8] and
@@ -184,39 +187,18 @@ def _distributed_cap(ok: DataFrame, k: int) -> tuple[float, int] | None:
     return float(p_star), int(h_max)
 
 
-def schedule_batch(
-    frontier: DataFrame,
-    host_policy: DataFrame,
-    batch_size: int,
-    num_partitions: int = 32,
-    cap_driver_merge_max: int = CAP_DRIVER_MERGE_MAX,
-) -> tuple[DataFrame, DataFrame, DataFrame, "Callable[[], None]"]:
-    """(scheduled, denied, deferred, cleanup): the per-round fetch batch,
-    the rows the robots rules denied permanently, the budget-overflow rows
-    that stay queued for the next round ('budget_deferred'), and a cleanup
-    callable to release the scheduler's cache once the round's commits are
-    done. The three DataFrames partition the round's queued set, all
-    derived from ONE window pipeline — the deferral complement falls out
-    of the same row_number that enforces the budget, so no re-derivation
-    anti-joins. The slim post-window set is persisted (MEMORY_AND_DISK)
-    so the batch and its deferral complement — committed by separate
-    actions — share one computation of the robots+budget pipeline
-    instead of re-running it per consumer."""
-    q = frontier.filter(F.col("state") == "queued")
-    j = q.join(
-        F.broadcast(host_policy.select("host", "disallow", "allow", "crawl_delay_ms", "budget_per_round")),
-        "host",
-        "left",
-    )
+def _with_allowed(j: DataFrame) -> DataFrame:
+    """Joined (queued ⋈ policy) rows → + boolean `allowed` column.
+
+    Robots precedence (RFC 9309: longest match wins, Allow wins ties) is
+    pure prefix logic when no rule carries '*'/'$' — the overwhelmingly
+    common case — and runs JVM-side via array lambdas (whole-stage
+    codegen). Wildcard rule-sets take the vectorized Python matcher. The
+    split MUST be a filter+union, not when/otherwise: Catalyst extracts
+    Python UDFs into an unconditional ArrowEvalPython projection, so a
+    UDF inside `otherwise` still executes for every row (verified on the
+    plan)."""
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    # Robots precedence (RFC 9309: longest match wins, Allow wins ties) is
-    # pure prefix logic when no rule carries '*'/'$' — the overwhelmingly
-    # common case — and runs JVM-side via array lambdas (whole-stage
-    # codegen). Wildcard rule-sets take the vectorized Python matcher. The
-    # split MUST be a filter+union, not when/otherwise: Catalyst extracts
-    # Python UDFs into an unconditional ArrowEvalPython projection, so a
-    # UDF inside `otherwise` still executes for every row (verified on the
-    # plan).
     dis = F.coalesce(F.col("disallow"), F.array())
     alw = F.coalesce(F.col("allow"), F.array())
     has_wild = F.exists(
@@ -237,37 +219,123 @@ def schedule_batch(
     j_wild = j.filter(F.col("disallow").isNotNull() & has_wild).withColumn(
         "allowed", R.allowed_udf(path, F.col("disallow"), F.col("allow"))
     )
-    j = j_plain.unionByName(j_wild)
+    return j_plain.unionByName(j_wild)
+
+
+def _split_head(al: DataFrame) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
+    """(head, tail, cleanup): split the ALLOWED queued set per host into
+    the schedulable HEAD — a superset of every row the budget window can
+    pick this round — and the definitely-deferred TAIL, which skips the
+    window (and its shuffle+sort) entirely.
+
+    Band = floor(priority): priorities are depth-derived (or post-rescore
+    continuous but still depth-anchored), so a band is "one BFS depth".
+    Per (host, band) allowed-row counts (one slim hash-agg, map-side
+    combined) give each host's running cumulative; a band whose
+    cumulative-before is already ≥ budget cannot contribute a scheduled
+    row — every row in it sorts strictly after ≥ budget allowed rows of
+    the same host (bands are integer floors, so a later band's priority
+    is strictly greater than any earlier band's). EXACTNESS: counts are
+    of ALLOWED rows (robots evaluated once upstream), so denied rows
+    cannot inflate a band into covering a budget it doesn't fill — the
+    head window picks precisely the set the unbanded window would
+    (pinned by tests/unit/test_frontier_band.py, including rule-heavy
+    hosts and post-rescore fractional priorities).
+
+    Why this matters at 10^10 (VERDICT r04 #3 / SCALE.md): the queued
+    frontier only grows under budget-deferred carry-over, but growth
+    accumulates in HIGHER bands (deeper discoveries) while the head
+    drains from the lowest bands — so the window's input is O(head) ≈
+    O(Σ budgets + boundary-band overshoot), flat as the queue grows,
+    instead of O(queue). The tail is still rewritten into the next
+    round's generation (slim, embarrassingly parallel I/O, no shuffle);
+    only the SORT stops scaling with the wrong variable. head_keys is a
+    tiny (host, band) table — ≤ a few bands per host — persisted so the
+    cnt agg runs once across the semi/anti consumers; AQE picks the
+    broadcast build for the probes at any realistic host count."""
+    a = al.withColumn("_band", F.floor(F.col("priority")).cast("int"))
+    wb = (
+        Window.partitionBy("host")
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    head_keys = (
+        a.groupBy("host", "_band")
+        .agg(F.count("*").alias("_n"), F.min("budget_per_round").alias("_bud"))
+        .withColumn("_cum", F.coalesce(F.sum("_n").over(wb), F.lit(0)))
+        .filter(F.col("_cum") < F.coalesce(F.col("_bud"), F.lit(DEFAULT_BUDGET)))
+        .select("host", "_band")
+        .persist()
+    )
+    head = a.join(head_keys, ["host", "_band"], "left_semi").drop("_band")
+    tail = a.join(head_keys, ["host", "_band"], "left_anti").drop("_band")
+    return head, tail, (lambda: head_keys.unpersist())
+
+
+def schedule_batch(
+    frontier: DataFrame,
+    host_policy: DataFrame,
+    batch_size: int,
+    num_partitions: int = 32,
+    cap_driver_merge_max: int = CAP_DRIVER_MERGE_MAX,
+    band_pruning: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame, "Callable[[], None]"]:
+    """(scheduled, denied, deferred, cleanup): the per-round fetch batch,
+    the rows the robots rules denied permanently, the budget-overflow rows
+    that stay queued for the next round ('budget_deferred'), and a cleanup
+    callable to release the scheduler's caches once the round's commits
+    are done. The three DataFrames partition the round's queued set.
+
+    Plan shape (r5, VERDICT r04 #3): robots is evaluated ONCE over the
+    queued set (broadcast policy join + JVM prefix logic, projection-only
+    — no shuffle), and the slim evaluated queue (frontier cols + allowed
+    + delay + budget; rule arrays dropped) is persisted MEMORY_AND_DISK so
+    the batch and its deferral complement — committed by separate actions
+    — share it. The budget WINDOW (the only per-host shuffle+sort) then
+    runs over the per-host schedulable HEAD only (_split_head): rows in
+    priority bands already saturated by earlier bands go straight to
+    `deferred` untouched. Selection is EXACTLY the unbanded window's
+    (head/tail split proven band-prefix-exact; A/B-pinned in
+    tests/unit/test_frontier_band.py); `denied` semantics are unchanged
+    (robots applies to every queued row each round, so fully-denied rows
+    never linger). band_pruning=False keeps the old full-window path for
+    A/B tests.
+
+    Measured negative result (don't retry): splitting hosts by queued
+    count so only over-budget hosts pay the window (under-budget hosts
+    bypass with _rn=1) LOSES here — 8.2 s vs 5.7 s min-of-3 at the bench
+    frontier. The budget binds on few HOSTS but those zipf-head hosts
+    hold most ROWS; banding wins where that split lost because it prunes
+    WITHIN a host — the head host's beyond-boundary bands skip the sort."""
+    from pyspark import StorageLevel
+
+    q = frontier.filter(F.col("state") == "queued")
+    j = q.join(
+        F.broadcast(host_policy.select("host", "disallow", "allow", "crawl_delay_ms", "budget_per_round")),
+        "host",
+        "left",
+    )
+    j = (
+        _with_allowed(j)
+        .select(*frontier.columns, "allowed", "crawl_delay_ms", "budget_per_round")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     denied = j.filter(~F.col("allowed")).select(*frontier.columns).withColumn(
         "state", F.lit("robots_denied")
     )
-    allowed = j.filter(F.col("allowed"))
-    w = Window.partitionBy("host").orderBy("priority", "url_hash")
+    al = j.filter(F.col("allowed"))
     budget = F.coalesce(F.col("budget_per_round"), F.lit(DEFAULT_BUDGET))
-    # Persist the SLIM post-window set (frontier cols + delay + _rn; the
-    # policy's rule arrays are dropped first): the scheduled batch and the
-    # budget-overflow complement are consumed by SEPARATE actions (pages
-    # commit vs frontier commit), and without this cache the second action
-    # re-executes the whole robots-join + window pipeline for the deferred
-    # branch — measured ~5 s/round at the bench frontier.
-    #
-    # Measured negative result (don't retry): splitting hosts by queued
-    # count so only over-budget hosts pay the window (under-budget hosts
-    # bypass with _rn=1) LOSES here — 8.2 s vs 5.7 s min-of-3 at the bench
-    # frontier. The budget binds on few HOSTS but those zipf-head hosts
-    # hold most ROWS (deferred is ~61% of the 2M frontier), so the split
-    # saves only the small tail's sort while adding a second full persist
-    # pass and two broadcast probes over every row.
-    from pyspark import StorageLevel
-
-    allowed = (
-        allowed.withColumn("_rn", F.row_number().over(w))
-        .select(*frontier.columns, "crawl_delay_ms", "budget_per_round", "_rn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    cleanup = lambda: allowed.unpersist()  # noqa: E731
-    ok = allowed.filter(F.col("_rn") <= budget).drop("_rn", "budget_per_round")
-    deferred = allowed.filter(F.col("_rn") > budget).select(*frontier.columns)
+    if band_pruning:
+        head, tail, keys_cleanup = _split_head(al)
+    else:
+        head, tail, keys_cleanup = al, None, (lambda: None)
+    w = Window.partitionBy("host").orderBy("priority", "url_hash")
+    hw = head.withColumn("_rn", F.row_number().over(w))
+    cleanup = lambda: (keys_cleanup(), j.unpersist())  # noqa: E731
+    ok = hw.filter(F.col("_rn") <= budget).drop("_rn", "budget_per_round", "allowed")
+    deferred = hw.filter(F.col("_rn") > budget).select(*frontier.columns)
+    if tail is not None:
+        deferred = deferred.unionByName(tail.select(*frontier.columns))
     if batch_size is not None and batch_size <= cap_driver_merge_max:
         # priority-queue pop: global top-k by the total order. Spark's
         # TakeOrderedAndProject is driver-merged — right for k ≪ frontier;
