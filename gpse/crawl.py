@@ -460,6 +460,9 @@ def rescore_frontier(
     damping: float = 0.85,
     rank_weight: float = 0.5,
     round_n: int | None = None,
+    warm_start: bool = False,
+    tol: float | None = None,
+    max_sweeps: int = 100,
 ) -> dict:
     """Re-prioritize the queued frontier from the crawled link graph —
     the prioritized-crawl maintenance op (the `link_pagerank` query's
@@ -496,9 +499,24 @@ def rescore_frontier(
     rescore must not fold a round-(last+2) frontier append (uncommitted
     work — no metrics marker) into an overwrite that rollback would then
     preserve, so rollback_incomplete runs FIRST (cheap, driver-side
-    manifest prune; ADVICE r04). Cost: O(edges)·iterations + one
-    frontier rewrite — an inter-round maintenance job, not part of the
-    round loop at scale. Returns {"n_nodes","n_edges","rank_max","wall_s"}.
+    manifest prune; ADVICE r04). Cost: O(edges)·sweeps + one frontier
+    rewrite — an inter-round maintenance job, not part of the round loop
+    at scale. Returns {"n_nodes","n_edges","rank_max","n_sweeps","wall_s"}.
+
+    Convergence + warm start (VERDICT r04 next-round #9): with
+    `tol` set, power steps run until max|Δrank| ≤ tol (one slim join+agg
+    per sweep on the localCheckpoint'd ranks — lineage stays flat) up to
+    `max_sweeps`, failing loudly on non-convergence like the components
+    loop; `iterations` is ignored. Each rescore commits the converged
+    ranks as the slim `link_ranks` table (nid, rank — overwrite at the
+    same round_n), and `warm_start=True` initializes the next rescore
+    from it (nodes absent from the previous graph start at 1/n). PageRank
+    has a UNIQUE fixed point (damping < 1 makes the operator a
+    contraction), so the warm start changes COST, never the answer: after
+    an incremental crawl most nodes sit near the fixed point already and
+    the loop converges in a few sweeps instead of O(log(1/tol)/log(1/d))
+    — the O(new edges)-ish refresh the 100 TB maintenance cadence needs.
+    Cold/warm parity at convergence is pinned in tests/e2e/test_rescore.py.
     """
     t0 = time.time()
     rollback_incomplete(cat)
@@ -538,15 +556,29 @@ def rescore_frontier(
         n_edges = e.count()
         if n_nodes == 0:
             return {"n_nodes": 0, "n_edges": 0, "rank_max": 0.0,
-                    "wall_s": round(time.time() - t0, 3)}
-        ranks = nodes.select("nid", F.lit(1.0 / n_nodes).alias("rank"))
-        for _ in range(iterations):
+                    "n_sweeps": 0, "wall_s": round(time.time() - t0, 3)}
+        if warm_start and cat.exists("link_ranks"):
+            prev = cat.load(spark, "link_ranks").select(
+                "nid", F.col("rank").alias("_prev")
+            )
+            ranks = nodes.join(prev, "nid", "left").select(
+                "nid", F.coalesce("_prev", F.lit(1.0 / n_nodes)).alias("rank")
+            )
+        else:
+            ranks = nodes.select("nid", F.lit(1.0 / n_nodes).alias("rank"))
+        if tol is not None:
+            # convergence mode needs each sweep materialized anyway (for
+            # the delta agg), and checkpointing keeps the iterative
+            # lineage flat — same discipline as gpse/components.py
+            ranks = ranks.localCheckpoint()
+        n_sweeps = 0
+        for _ in range(max_sweeps if tol is not None else iterations):
             contrib = (
                 e.join(ranks.withColumnRenamed("nid", "src"), "src")
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
             )
-            ranks = nodes.join(
+            new_ranks = nodes.join(
                 contrib.withColumnRenamed("dst", "nid"), "nid", "left"
             ).select(
                 "nid",
@@ -555,8 +587,34 @@ def rescore_frontier(
                     + F.lit(damping) * F.coalesce("c", F.lit(0.0))
                 ).alias("rank"),
             )
+            n_sweeps += 1
+            if tol is None:
+                ranks = new_ranks
+                continue
+            new_ranks = new_ranks.localCheckpoint()
+            delta = (
+                ranks.withColumnRenamed("rank", "_r0")
+                .join(new_ranks, "nid")
+                .agg(F.max(F.abs(F.col("rank") - F.col("_r0"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol:
+                break
+        else:
+            if tol is not None:
+                raise RuntimeError(
+                    f"rescore_frontier: no fixed point within {max_sweeps} "
+                    f"sweeps at tol={tol} (last delta={delta}) — PageRank "
+                    "with damping<1 must converge; this is a bug or a "
+                    "pathological tol"
+                )
         ranks_p = ranks.select("nid", F.round("rank", 9).alias("rank")).persist()
         rank_max = ranks_p.agg(F.max("rank")).collect()[0][0] or 1.0
+        # converged ranks become the next warm start's seed (slim table;
+        # overwrite at the same preserved round_n — crash between this and
+        # the frontier commit is harmless: the re-run recomputes both)
+        cat.commit("link_ranks", ranks_p, round_n, mode="overwrite")
         fr = cat.load(spark, "frontier")
         rescored = (
             fr.join(
@@ -586,6 +644,7 @@ def rescore_frontier(
         "n_nodes": int(n_nodes),
         "n_edges": int(n_edges),
         "rank_max": float(rank_max),
+        "n_sweeps": int(n_sweeps),
         "wall_s": round(time.time() - t0, 3),
     }
 

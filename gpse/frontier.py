@@ -222,7 +222,7 @@ def _with_allowed(j: DataFrame) -> DataFrame:
     return j_plain.unionByName(j_wild)
 
 
-def _split_head(al: DataFrame) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
+def _split_head(al: DataFrame) -> tuple[DataFrame, "DataFrame | None", "Callable[[], None]"]:
     """(head, tail, cleanup): split the ALLOWED queued set per host into
     the schedulable HEAD — a superset of every row the budget window can
     pick this round — and the definitely-deferred TAIL, which skips the
@@ -252,24 +252,36 @@ def _split_head(al: DataFrame) -> tuple[DataFrame, DataFrame, "Callable[[], None
     only the SORT stops scaling with the wrong variable. head_keys is a
     tiny (host, band) table — ≤ a few bands per host — persisted so the
     cnt agg runs once across the semi/anti consumers; AQE picks the
-    broadcast build for the probes at any realistic host count."""
+    broadcast build for the probes at any realistic host count.
+
+    Degenerate-frontier short-circuit: when NO (host, band) key prunes
+    (e.g. a fresh seed frontier where every priority ties — one band per
+    host, nothing saturated-before), the split is a no-op, so skip the
+    semi/anti probes entirely instead of pushing every queued row through
+    two joins for an empty tail. The check is two counts on the persisted
+    ~|hosts|-row key table — sub-second against the O(queue) probes it
+    saves."""
     a = al.withColumn("_band", F.floor(F.col("priority")).cast("int"))
     wb = (
         Window.partitionBy("host")
         .orderBy("_band")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    head_keys = (
+    keys = (
         a.groupBy("host", "_band")
         .agg(F.count("*").alias("_n"), F.min("budget_per_round").alias("_bud"))
         .withColumn("_cum", F.coalesce(F.sum("_n").over(wb), F.lit(0)))
-        .filter(F.col("_cum") < F.coalesce(F.col("_bud"), F.lit(DEFAULT_BUDGET)))
-        .select("host", "_band")
         .persist()
     )
+    head_keys = keys.filter(
+        F.col("_cum") < F.coalesce(F.col("_bud"), F.lit(DEFAULT_BUDGET))
+    ).select("host", "_band")
+    if keys.count() == head_keys.count():  # nothing prunes — no-op split
+        keys.unpersist()
+        return al, None, (lambda: None)
     head = a.join(head_keys, ["host", "_band"], "left_semi").drop("_band")
     tail = a.join(head_keys, ["host", "_band"], "left_anti").drop("_band")
-    return head, tail, (lambda: head_keys.unpersist())
+    return head, tail, (lambda: keys.unpersist())
 
 
 def schedule_batch(

@@ -106,3 +106,36 @@ def test_rescore_recrawled_page_counts_edges_once(spark, tmp_path):
     pa = {r.url_hash: r.priority for r in cat_a.load(spark, "frontier").collect()}
     pb = {r.url_hash: r.priority for r in cat_b.load(spark, "frontier").collect()}
     assert pa == pb
+
+
+def test_rescore_warm_start_parity_at_convergence(spark, tmp_path):
+    """Warm start changes COST, never the answer (unique PageRank fixed
+    point): a tol-converged cold rescore and a tol-converged warm rescore
+    seeded from an earlier coarse run must land on the same priorities,
+    and the warm run must get there in fewer sweeps."""
+    cat_a = Catalog(str(tmp_path / "a"))
+    cat_b = Catalog(str(tmp_path / "b"))
+    crawl.run(spark, cat_a, CFG, 2)
+    crawl.run(spark, cat_b, CFG, 2)
+
+    cold = crawl.rescore_frontier(spark, cat_a, CFG, tol=1e-9)
+    assert cold["n_sweeps"] > 3  # tol mode actually iterated past the default
+
+    # catalog B: a coarse fixed-sweep rescore first (commits link_ranks),
+    # then the warm-started converged one
+    crawl.rescore_frontier(spark, cat_b, CFG, iterations=8)
+    assert cat_b.exists("link_ranks")
+    warm = crawl.rescore_frontier(spark, cat_b, CFG, warm_start=True, tol=1e-9)
+    assert warm["n_sweeps"] < cold["n_sweeps"], (warm, cold)
+
+    pa = {r.url_hash: r.priority for r in cat_a.load(spark, "frontier").collect()}
+    pb = {r.url_hash: r.priority for r in cat_b.load(spark, "frontier").collect()}
+    assert pa.keys() == pb.keys()
+    worst = max(abs(pa[k] - pb[k]) for k in pa)
+    # both within tol/(1-d) of the unique fixed point; priorities are
+    # rank/rank_max scaled by rank_weight, so the bound is loose vs 1e-5
+    assert worst < 1e-5, worst
+
+    # the committed ranks table matches the rescore's round placement and
+    # survives a restart (same preservation rule as the frontier overwrite)
+    assert Catalog(str(tmp_path / "b")).exists("link_ranks")
