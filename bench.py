@@ -689,6 +689,12 @@ def main() -> None:
         crawl_info["scaling_pair_walls"] = [
             [p[0]["wall_s"], p[1]["wall_s"]] for p in pairs
         ]
+        # per-pair stage walls: if a pair's ratio dips, the artifact itself
+        # names the stage that failed to parallelize (or absorbed load)
+        crawl_info["scaling_pair_stage_s"] = [
+            {"N": p[0].get("stage_s", {}), "4N": p[1].get("stage_s", {})}
+            for p in pairs
+        ]
         ceil = {
             k: round((probe_n[f"{k}_s"] / probe_4n[f"{k}_s"]) / 4, 3)
             for k in ("jvm_agg", "arrow_py", "scan")

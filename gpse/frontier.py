@@ -249,18 +249,17 @@ def _split_head(al: DataFrame) -> tuple[DataFrame, "DataFrame | None", "Callable
     O(Σ budgets + boundary-band overshoot), flat as the queue grows,
     instead of O(queue). The tail is still rewritten into the next
     round's generation (slim, embarrassingly parallel I/O, no shuffle);
-    only the SORT stops scaling with the wrong variable. head_keys is a
-    tiny (host, band) table — ≤ a few bands per host — persisted so the
-    cnt agg runs once across the semi/anti consumers; AQE picks the
-    broadcast build for the probes at any realistic host count.
+    only the SORT stops scaling with the wrong variable. The key table is
+    tiny ((host, band) — ≤ a few bands per host), persisted so the count
+    agg runs once across its consumers; because head bands are a per-host
+    PREFIX, the split itself is one broadcast cutoff-join (host → max head
+    band) + two predicates — a single pass over the queued rows.
 
     Degenerate-frontier short-circuit: when NO (host, band) key prunes
     (e.g. a fresh seed frontier where every priority ties — one band per
     host, nothing saturated-before), the split is a no-op, so skip the
-    semi/anti probes entirely instead of pushing every queued row through
-    two joins for an empty tail. The check is two counts on the persisted
-    ~|hosts|-row key table — sub-second against the O(queue) probes it
-    saves."""
+    probe pass entirely; the check is one agg on the persisted tiny key
+    table."""
     a = al.withColumn("_band", F.floor(F.col("priority")).cast("int"))
     wb = (
         Window.partitionBy("host")
@@ -271,16 +270,28 @@ def _split_head(al: DataFrame) -> tuple[DataFrame, "DataFrame | None", "Callable
         a.groupBy("host", "_band")
         .agg(F.count("*").alias("_n"), F.min("budget_per_round").alias("_bud"))
         .withColumn("_cum", F.coalesce(F.sum("_n").over(wb), F.lit(0)))
+        .withColumn(
+            "_head", F.col("_cum") < F.coalesce(F.col("_bud"), F.lit(DEFAULT_BUDGET))
+        )
         .persist()
     )
-    head_keys = keys.filter(
-        F.col("_cum") < F.coalesce(F.col("_bud"), F.lit(DEFAULT_BUDGET))
-    ).select("host", "_band")
-    if keys.count() == head_keys.count():  # nothing prunes — no-op split
+    # ONE driver action decides the short-circuit (scaling-pair serial time
+    # is Amdahl-precious — every per-round driver job costs the same at
+    # every core count)
+    tot = keys.agg(F.count_if(~F.col("_head")).alias("n_tail")).collect()[0]
+    if tot["n_tail"] == 0:  # nothing prunes — no-op split
         keys.unpersist()
         return al, None, (lambda: None)
-    head = a.join(head_keys, ["host", "_band"], "left_semi").drop("_band")
-    tail = a.join(head_keys, ["host", "_band"], "left_anti").drop("_band")
+    # head bands form a per-host PREFIX (_cum is nondecreasing in _band, so
+    # once a band is saturated every later band is too) — so the split is a
+    # single broadcast join against per-host cutoffs + two predicates, one
+    # pass over the queued rows instead of a semi- plus an anti-probe.
+    # _maxb null = host whose budget ≤ 0 admits no band at all.
+    cuts = keys.filter("_head").groupBy("host").agg(F.max("_band").alias("_maxb"))
+    hb = a.join(F.broadcast(cuts), "host", "left")
+    in_head = F.col("_maxb").isNotNull() & (F.col("_band") <= F.col("_maxb"))
+    head = hb.filter(in_head).drop("_band", "_maxb")
+    tail = hb.filter(~in_head).drop("_band", "_maxb")
     return head, tail, (lambda: keys.unpersist())
 
 
