@@ -285,10 +285,20 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     new_part = frontier_mod.from_candidates(
         new_urls, round_n + 1, cfg.n_salts, cfg.depth_weight
     ).persist()  # slim (no html); seen/bloom deltas come from this only
+    # n_new rides the frontier write as an Observation (accumulated during
+    # the commit action itself) instead of a separate count job — one less
+    # per-round driver job (serial at every core count; r5 scaling work)
+    from pyspark.sql import Observation
+
+    obs_new = Observation()
     # cluster the written generation by priority so row-group min/max
     # stats line up with the scheduler's priority bands (cheap per-task
     # sort of slim rows; lets a band-predicate scan prune at file level)
-    next_frontier = new_part.unionByName(deferred).sortWithinPartitions("priority")
+    next_frontier = (
+        new_part.observe(obs_new, F.count(F.lit(1)).alias("n"))
+        .unionByName(deferred)
+        .sortWithinPartitions("priority")
+    )
     try:
         # seen delta covers ONLY genuinely-new URLs — deferred rows were
         # recorded in seen_exact when first discovered
@@ -329,7 +339,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
             )
         n_fetched = sum(r["n_fetched"] for r in mlocal)
         with _t("n_new count", stages):
-            n_new = new_part.count()  # cached by the frontier commit
+            n_new = int(obs_new.get["n"])  # observed during the frontier commit
     finally:
         new_part.unpersist()
         sched.unpersist()

@@ -280,9 +280,23 @@ def fetch_from_corpus(
         return F.broadcast(df) if small else df.hint("shuffle_hash")
 
     if unique_captures:
-        ok = corpus_bodies.select("url", "warc_ts", "html").join(
-            bc(s), "url", "inner"
+        # hot path joins on an 8-byte xxhash64 of the url, not the URL
+        # string: the broadcast hash-relation build runs ON THE DRIVER
+        # (the round's biggest Amdahl term at low core counts — r5
+        # scaling work), and a long-keyed build without the ~70-byte url
+        # strings is several times smaller and faster. The key is
+        # computed from `url` on BOTH sides (no caller contract on the
+        # url_hash column), and the output url comes from the origin row —
+        # the matched strings are equal. Hash equality is already the
+        # engine-wide URL identity (seen/frontier dedup on xxhash64
+        # alone); at 10M batch rows the cross-string collision odds are
+        # ~1e-8.
+        b = corpus_bodies.select(
+            F.xxhash64("url").alias("_uh"), "url", "warc_ts", "html"
         )
+        ok = b.join(
+            bc(s.withColumn("_uh", F.xxhash64("url")).drop("url")), "_uh", "inner"
+        ).drop("_uh")
     else:
         # multi-capture: latest wins. Timestamp ties are detected on a
         # column-pruned (url, warc_ts) scan restricted to the batch — only
@@ -313,7 +327,15 @@ def fetch_from_corpus(
         "html",
         F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
     )
-    miss = s.join(corpus_bodies.select("url"), "url", "left_anti").select(
+    miss = (
+        s.withColumn("_uh", F.xxhash64("url"))
+        .join(
+            corpus_bodies.select(F.xxhash64("url").alias("_uh")),
+            "_uh",
+            "left_anti",
+        )
+        .drop("_uh")
+    ).select(
         "url", "url_hash", "host", "depth", "src_url_hash",
         F.spark_partition_id().alias("partition_id"),
         F.lit(404).alias("status"),
