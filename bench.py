@@ -769,11 +769,21 @@ def _write_baseline_md(r: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     c = r["crawl"]
     eff_key = f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}"
+    stamps = r.get("load_stamps", [])
+    las = sorted(s["loadavg1"] for s in stamps) if stamps else [0.0]
     lines = [
         "# BENCH/BASELINE — measured numbers (bench.py, auto-written each run)",
         "",
         f"- sf dir: `{r['sf']}`, headline cores: local[{CPUS}]",
         f"- headline suite total: **{r['value']} s**",
+        f"- machine-load context for THIS run (recorded stamps, evidence "
+        f"only): 1-min loadavg at phase starts ranged "
+        f"{las[0]}–{las[-1]} (median {las[len(las) // 2]}) on the shared "
+        f"32-core VM — external load is strictly additive, so ABSOLUTE "
+        f"walls from high-stamp phases under-report capability (each "
+        f"stamp is next to its phase in BENCH/last_run.json "
+        f"`load_stamps`); the min-over-repeats estimators exist exactly "
+        f"for this.",
         "",
         "## North-star metric: URLs fetched+deduped / sec / crawl round",
         "",
