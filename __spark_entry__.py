@@ -152,8 +152,11 @@ def q_crawl_traps(spark, sf):
         ).alias("url")
     )
     t = _traps.detect_traps(urls, max_urls_per_template=15)
+    # join on host+template (r6, ADVICE r05): disallow is derived per
+    # template row, so a host with ≥2 trap templates can't cross-product —
+    # identical output on single-template hosts, DuckDB-robust on more
     return (
-        t.join(_traps.trap_disallow_rules(t), "host")
+        t.join(_traps.trap_disallow_rules(t), ["host", "template"])
         .select("host", "template", "n_urls", "disallow")
         .orderBy("host", "template")
     )

@@ -37,7 +37,7 @@ from gpse import frontier as frontier_mod
 from gpse import metrics as metrics_mod
 from gpse import robots as robots_mod
 from gpse import seen as seen_mod
-from gpse import synth, textfuncs
+from gpse import synth
 from gpse.catalog import Catalog
 from gpse.extract import parse_extract
 
@@ -208,7 +208,6 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
             sched, cfg.corpus, pacing=cfg.fetch_pacing,
             time_scale=cfg.fetch_time_scale,
         )
-    parsed = parse_extract(fetched)
     # The round's fetch log IS the pages table (extended schema: the
     # input_hint columns url/warc_ts/html/text/lang first, then engine
     # lineage columns). ONE full materialization per round — every later
@@ -216,18 +215,20 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     # never sits in a wide persist and never travels again. This is the
     # plan shape that survives 100 TB: write once, prune thereafter.
     #
-    # lang_id's tokenization is materialized ONCE as a projected column
-    # (multi-referenced non-cheap expressions survive CollapseProject) —
-    # the naive lang_id(text) re-splits the text per language through the
-    # filter lambdas Catalyst can't fully CSE: measured 4.7 -> 2.6 s on
-    # the 626k-row bench batch (textfuncs.lang_id_from_tokens).
-    parsed = parsed.withColumn("_toks", textfuncs.tokens(F.col("text")))
+    # lang rides the extraction batch (r6): the text is already in Python
+    # inside parse_extract's mapInArrow, where lang-ID is one dict probe
+    # per token — vs the interpreted JVM HOF pipeline (5 filter lambdas
+    # per row; higher-order functions don't codegen), which cost as much
+    # as the whole HTML parse at 32 cores (bench_extra pages_stages:
+    # ~3.2 s marginal). Values are EXACTLY textfuncs.lang_id's
+    # (parity-pinned in tests/unit/test_extract.py).
+    parsed = parse_extract(fetched, with_lang=True)
     log = parsed.select(
         "url",
         "warc_ts",
         "html",
         "text",
-        textfuncs.lang_id_from_tokens(F.col("_toks")).alias("lang"),
+        "lang",
         "status",
         "url_hash",
         "host",
@@ -431,8 +432,16 @@ def expire_urls(
         k_ins = k.join(seen.select("url_hash"), "url_hash", "left_semi").persist()
         n_expired = k_ins.count()
         remaining = seen.join(k, "url_hash", "left_anti")
+        # n_remaining rides the overwrite as an Observation (r6, VERDICT
+        # r05 #5): the old post-commit count() re-scanned the freshly
+        # written seen set — an O(seen) job per expiry call for a return
+        # field (120 GB at the 10^10 design point)
+        from pyspark.sql import Observation
+
+        obs_rem = Observation()
+        remaining = remaining.observe(obs_rem, F.count(F.lit(1)).alias("n"))
         cat.commit("seen_exact", remaining, round_n, mode="overwrite")
-        n_remaining = cat.load(spark, "seen_exact").count()
+        n_remaining = int(obs_rem.get["n"])
 
         fr = cat.load(spark, "frontier")
         cat.commit(
@@ -567,6 +576,17 @@ def rescore_frontier(
         if n_nodes == 0:
             return {"n_nodes": 0, "n_edges": 0, "rank_max": 0.0,
                     "n_sweeps": 0, "wall_s": round(time.time() - t0, 3)}
+        if warm_start and tol is None:
+            import warnings
+
+            warnings.warn(
+                "rescore_frontier: warm_start without tol runs FIXED "
+                "iterations from the previous link_ranks seed — the "
+                "committed priorities then depend on history, violating "
+                "the 'warm start changes COST, never the answer' contract "
+                "(which holds only at convergence). Set tol.",
+                stacklevel=2,
+            )
         if warm_start and cat.exists("link_ranks"):
             prev = cat.load(spark, "link_ranks").select(
                 "nid", F.col("rank").alias("_prev")
@@ -582,6 +602,8 @@ def rescore_frontier(
             # lineage flat — same discipline as gpse/components.py
             ranks = ranks.localCheckpoint()
         n_sweeps = 0
+        delta = None  # defined before the loop: max_sweeps=0 must raise
+        # the intended RuntimeError below, not NameError (ADVICE r05)
         for _ in range(max_sweeps if tol is not None else iterations):
             contrib = (
                 e.join(ranks.withColumnRenamed("nid", "src"), "src")

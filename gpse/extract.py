@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-from gpse.urlnorm import resolve_one
+from gpse.urlnorm import _FAST_CANONICAL_RE, resolve_one
 
 _BLOCK_TAGS = frozenset(
     "p div h1 h2 h3 h4 h5 h6 li tr br table ul ol section article "
@@ -102,13 +102,22 @@ class _Extractor(HTMLParser):
 # (tests/unit/test_extract.py).
 # ---------------------------------------------------------------------------
 
-# tag name: conservative subset of HTMLParser's tagfind_tolerant — weirder
-# names (containing '<', quotes, '=') bail to the reference parser
-_FAST_START_RE = re.compile(
-    r"([a-zA-Z][-.a-zA-Z0-9:_]*)"
+# One combined token regex (r6): end tag (group 1) OR start tag (groups
+# 2-4), matched with .search() so the C engine skips over text runs in one
+# call instead of find('<') + separate start/end match attempts. Any '<'
+# the regex cannot consume lands inside a text segment and bails — the
+# same bail set as the old per-construct checks ("<!--", "<?", "< ", a
+# malformed tag), verified by the adversarial/fuzz differentials. Tag
+# names stay the conservative subset of HTMLParser's tagfind_tolerant —
+# weirder names (containing '<', quotes, '=') bail to the reference parser.
+_TOK_RE = re.compile(
+    r"<(?:"
+    r"/([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+    r"|([a-zA-Z][-.a-zA-Z0-9:_]*)"
     r"((?:\s+[a-zA-Z_][-.a-zA-Z0-9:_]*"
     r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s\"'<>=`]*))?)*)"
     r"\s*(/?)>"
+    r")"
 )
 _FAST_ATTR_RE = re.compile(
     r"\s+([a-zA-Z_][-.a-zA-Z0-9:_]*)"
@@ -121,6 +130,17 @@ _CDATA_END = {
     "script": re.compile(r"</\s*script", re.IGNORECASE),
     "style": re.compile(r"</\s*style", re.IGNORECASE),
 }
+# Tag-kind bitmask (r6): one dict probe replaces up to three frozenset
+# membership tests per tag in the hot loop. 1 = skip-content tag,
+# 2 = block tag, 4 = <a>, 8 = cdata-mode (script/style). Keys are
+# lowercase; a mixed-case tag pays one .lower() and a second probe.
+_TAG_KIND: dict[str, int] = {t: 1 for t in _SKIP_TAGS}
+for _t in _BLOCK_TAGS:
+    _TAG_KIND[_t] = _TAG_KIND.get(_t, 0) | 2
+_TAG_KIND["a"] = _TAG_KIND.get("a", 0) | 4
+for _t in _CDATA_END:
+    _TAG_KIND[_t] |= 8
+del _t
 
 
 def _extract_fast(raw: str, links_out: list[str]) -> list[str] | None:
@@ -129,77 +149,82 @@ def _extract_fast(raw: str, links_out: list[str]) -> list[str] | None:
     hrefs to `links_out`, or returns None if the document leaves the simple
     subset (caller falls back to the HTMLParser reference)."""
     chunks: list[str] = []
+    append = chunks.append
     skip = 0
-    i, n = 0, len(raw)
-    find = raw.find
-    while i < n:
-        lt = find("<", i)
-        if lt < 0:
-            if i < n and not skip:
-                seg = raw[i:]
-                chunks.append(unescape(seg) if "&" in seg else seg)
+    pos, n = 0, len(raw)
+    search = _TOK_RE.search
+    kind_get = _TAG_KIND.get
+    while pos < n:
+        m = search(raw, pos)
+        if m is None:
+            seg = raw[pos:]
+            if "<" in seg:
+                return None  # "<!--", "<?", "< ", "<<" — reference path
+            if not skip:
+                append(unescape(seg) if "&" in seg else seg)
             break
-        if lt > i and not skip:
-            seg = raw[i:lt]
-            chunks.append(unescape(seg) if "&" in seg else seg)
-        nxt = raw[lt + 1 : lt + 2]
-        if nxt == "/":
-            m = _FAST_END_RE.match(raw, lt + 1)
-            if m is None:
-                return None
-            tag = m.group(1).lower()
-            if tag in _SKIP_TAGS and skip > 0:
-                skip -= 1
-            if tag in _BLOCK_TAGS:
-                chunks.append("\x00")
-            i = m.end()
-        elif nxt.isalpha():
-            m = _FAST_START_RE.match(raw, lt + 1)
-            if m is None:
-                return None
-            tag = m.group(1).lower()
-            if tag in _SKIP_TAGS:
+        st, en = m.span()
+        if st > pos:
+            seg = raw[pos:st]
+            if "<" in seg:
+                return None  # unmatched '<' construct — reference path
+            if not skip:
+                append(unescape(seg) if "&" in seg else seg)
+        pos = en
+        end_name, tag, body, selfclose = m.group(1, 2, 3, 4)
+        if end_name is not None:
+            k = kind_get(end_name)
+            if k is None and not end_name.islower():
+                k = kind_get(end_name.lower())
+            if k:
+                if skip and k & 1:
+                    skip -= 1
+                if k & 2:
+                    append("\x00")
+            continue
+        k = kind_get(tag)
+        if k is None and not tag.islower():
+            k = kind_get(tag.lower())
+        if k:
+            if k & 1:
                 skip += 1
-            if tag in _BLOCK_TAGS:
-                chunks.append("\x00")
-            if tag == "a":
-                body = m.group(2)
-                pos = 0
+            if k & 2:
+                append("\x00")
+            if k & 4:
+                apos = 0
                 for am in _FAST_ATTR_RE.finditer(body):
-                    if am.start() != pos:
+                    if am.start() != apos:
                         return None  # unparsed residue inside the tag
-                    pos = am.end()
-                    if am.group(1).lower() == "href":
-                        v = am.group(2)
+                    apos = am.end()
+                    if am[1].lower() == "href":
+                        v = am[2]
                         if v is not None:
                             if v[:1] in "\"'":
                                 v = v[1:-1]
                             links_out.append(unescape(v) if "&" in v else v)
                         break
-            i = m.end()
-            if m.group(3) == "/":
+            if selfclose == "/":
                 # self-closing = starttag + endtag (HTMLParser's default
                 # handle_startendtag); cdata mode is NOT entered
-                if tag in _SKIP_TAGS and skip > 0:
+                if k & 1 and skip > 0:
                     skip -= 1
-                if tag in _BLOCK_TAGS:
-                    chunks.append("\x00")
-            elif tag in _CDATA_END:
-                mm = _CDATA_END[tag].search(raw, i)
+                if k & 2:
+                    append("\x00")
+            elif k & 8:
+                tl = tag if tag in _CDATA_END else tag.lower()
+                mm = _CDATA_END[tl].search(raw, pos)
                 if mm is None:
                     break  # unterminated script/style: rest is (skipped) data
                 me = _FAST_END_RE.match(raw, mm.start() + 1)
-                if me is None or me.group(1).lower() != tag:
+                if me is None or me[1].lower() != tl:
                     return None  # end tag HTMLParser would treat specially
-                # cdata content is data (never unescaped); tag in _SKIP_TAGS
-                # guarantees skip>0 here so it is dropped either way
+                # cdata content is data (never unescaped); k & 1 guarantees
+                # skip>0 here so it is dropped either way
                 if skip > 0:
                     skip -= 1
-                if tag in _BLOCK_TAGS:
-                    chunks.append("\x00")
-                i = me.end()
-        else:
-            return None  # "<!--", "<!doctype", "<?", "< ", "<<" — reference path
+                if k & 2:
+                    append("\x00")
+                pos = me.end()
     return chunks
 
 
@@ -214,10 +239,20 @@ def _finalize(chunks: list[str], raw_links: list[str], base_url: str) -> Tuple[s
         if s:
             lines.append(s)
     links = []
+    lappend = links.append
+    fmatch = _FAST_CANONICAL_RE.match
     for href in raw_links:
-        r = resolve_one(base_url, href)
-        if r is not None:
-            links.append(r)
+        # inline the already-canonical fast path (the overwhelming majority
+        # of real hrefs): strip FIRST — the regex's $ would match before a
+        # trailing newline — then one anchored match certifies the href is
+        # canonical absolute http(s), skipping the resolve_one call
+        h = href.strip() if href is not None else ""
+        if h and fmatch(h) is not None:
+            lappend(h)
+        else:
+            r = resolve_one(base_url, href)
+            if r is not None:
+                lappend(r)
     return "\n".join(lines), links
 
 
@@ -281,8 +316,15 @@ def make_links_udtf():
     return ExtractLinks
 
 
-def parse_extract(pages: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
-    """Add extracted `text` and `links` columns to a pages DataFrame.
+def parse_extract(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    with_lang: bool = False,
+) -> DataFrame:
+    """Add extracted `text` and `links` columns to a pages DataFrame —
+    and, with `with_lang=True`, a `lang` column computed in the SAME
+    Python batch (exactly textfuncs.lang_id's value; see lang_id_py).
 
     Implemented with mapInArrow: passthrough columns ride the Arrow stream
     as raw buffers (no pandas object materialization) and only html/url are
@@ -300,7 +342,11 @@ def parse_extract(pages: DataFrame, html_col: str = "html", url_col: str = "url"
 
     if "text" in pages.columns or "links" in pages.columns:
         raise ValueError("parse_extract input must not already have text/links columns")
+    if with_lang and "lang" in pages.columns:
+        raise ValueError("parse_extract(with_lang=True) input must not already have a lang column")
     hc, uc = html_col, url_col
+    if with_lang:
+        from gpse.textfuncs import lang_id_py
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for rb in batches:
@@ -312,17 +358,28 @@ def parse_extract(pages: DataFrame, html_col: str = "html", url_col: str = "url"
                 t, l = extract_one(h, u)
                 texts.append(t)
                 links.append(l)
-            yield pa.RecordBatch.from_arrays(
-                list(rb.columns)
-                + [pa.array(texts, type=pa.string()), pa.array(links, type=pa.list_(pa.string()))],
-                names=rb.schema.names + ["text", "links"],
-            )
+            cols = list(rb.columns) + [
+                pa.array(texts, type=pa.string()),
+                pa.array(links, type=pa.list_(pa.string())),
+            ]
+            names = rb.schema.names + ["text", "links"]
+            if with_lang:
+                # lang while the text is ALREADY here in Python (r6): one
+                # dict probe per token vs the interpreted JVM HOF pipeline
+                # (5 filter lambdas/row) — value-parity with
+                # textfuncs.lang_id pinned in tests; measured ~3 s off the
+                # 32-core pages stage, ~25 s at local[1]
+                cols.append(pa.array([lang_id_py(t) for t in texts], type=pa.string()))
+                names = names + ["lang"]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    out_schema = StructType(
-        list(pages.schema.fields)
-        + [StructField("text", StringType()), StructField("links", ArrayType(StringType()))]
-    )
-    return pages.mapInArrow(run, out_schema)
+    out_fields = list(pages.schema.fields) + [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ]
+    if with_lang:
+        out_fields.append(StructField("lang", StringType()))
+    return pages.mapInArrow(run, StructType(out_fields))
 
 
 def parse_extract_pandas(pages: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:

@@ -327,15 +327,23 @@ def fetch_from_corpus(
         "html",
         F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
     )
-    miss = (
-        s.withColumn("_uh", F.xxhash64("url"))
-        .join(
-            corpus_bodies.select(F.xxhash64("url").alias("_uh")),
-            "_uh",
-            "left_anti",
+    # the miss (404) anti-join keys on the SAME column as the branch's ok
+    # join (r6, ADVICE r05): hash-keyed in the unique-captures path (one
+    # consistent hash identity — a colliding scheduled URL 404s instead of
+    # silently vanishing), url-string-keyed in the multi-capture path
+    if unique_captures:
+        miss_src = (
+            s.withColumn("_uh", F.xxhash64("url"))
+            .join(
+                corpus_bodies.select(F.xxhash64("url").alias("_uh")),
+                "_uh",
+                "left_anti",
+            )
+            .drop("_uh")
         )
-        .drop("_uh")
-    ).select(
+    else:
+        miss_src = s.join(corpus_bodies.select("url"), "url", "left_anti")
+    miss = miss_src.select(
         "url", "url_hash", "host", "depth", "src_url_hash",
         F.spark_partition_id().alias("partition_id"),
         F.lit(404).alias("status"),

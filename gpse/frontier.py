@@ -353,8 +353,16 @@ def schedule_batch(
     else:
         head, tail, keys_cleanup = al, None, (lambda: None)
     w = Window.partitionBy("host").orderBy("priority", "url_hash")
-    hw = head.withColumn("_rn", F.row_number().over(w))
-    cleanup = lambda: (keys_cleanup(), j.unpersist())  # noqa: E731
+    # Persist the windowed head (r6): `ok` (→ the scheduled batch) and
+    # `deferred` are consumed by SEPARATE actions (the fetch/pages commit
+    # vs the next-round frontier commit), and without a cache the second
+    # action re-runs the whole per-host shuffle+sort window over the head —
+    # the scheduler's only expensive stage, paid twice per round (serial-
+    # heavy at low core counts). O(head) slim rows, released by cleanup().
+    hw = head.withColumn("_rn", F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cleanup = lambda: (keys_cleanup(), hw.unpersist(), j.unpersist())  # noqa: E731
     ok = hw.filter(F.col("_rn") <= budget).drop("_rn", "budget_per_round", "allowed")
     deferred = hw.filter(F.col("_rn") > budget).select(*frontier.columns)
     if tail is not None:

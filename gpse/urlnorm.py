@@ -92,6 +92,13 @@ _FAST_CANONICAL_RE = re.compile(
 )
 
 
+# scheme://authority/path split for the cheap-transform tail of resolve_one
+# (r6). No userinfo handling needed: an '@' in the authority survives the
+# lowercasing and then fails the final _FAST_CANONICAL_RE certification, so
+# those hrefs fall through to the full slow path untouched.
+_CHEAP_ABS_RE = re.compile(r"^([hH][tT][tT][pP][sS]?)://([^/?#]*)([^?#]*)$")
+
+
 def resolve_one(base: str, href: str) -> str | None:
     """Resolve an href against a base URL; http(s) only, else None."""
     if href is None:
@@ -101,6 +108,40 @@ def resolve_one(base: str, href: str) -> str | None:
         return None
     if _FAST_CANONICAL_RE.match(href):
         return href
+    # Cheap exact transforms for the classic dirty absolute forms —
+    # fragment, scheme/host case, default port, dot segments (RFC 3986's
+    # own normalization steps, and the overwhelming bulk of real dirty
+    # hrefs). Each transform preserves the canonical equivalence class;
+    # the final _FAST_CANONICAL_RE match CERTIFIES the result is already
+    # in canonical form, so on match the transformed string equals
+    # canonicalize_one(urljoin(base, href)) without the urlsplit
+    # round-trip (measured ~3x on the extract stage's dirty-link tail;
+    # equality is property-tested in tests/unit/test_urlnorm.py). On
+    # no-match the ORIGINAL href takes the slow path below.
+    i = href.find("#")
+    h = href[:i] if i >= 0 else href
+    m = _CHEAP_ABS_RE.match(h)
+    if m is not None and (
+        m[1].islower() or base[: len(m[1]) + 3].lower() == m[1].lower() + "://"
+    ):
+        # The guard mirrors a urljoin quirk the slow path inherits: urljoin
+        # lowercases the href's scheme only when it equals the base's
+        # scheme; otherwise the href comes back verbatim and the
+        # case-sensitive http(s):// check below DROPS mixed-case schemes.
+        # The cheap path therefore only fires when the slow path would
+        # keep the link (lowercase scheme, or scheme == base's).
+        scheme = m[1].lower()
+        auth = m[2].lower()
+        path = m[3]
+        if auth.endswith(":80" if scheme == "http" else ":443"):
+            auth = auth.rpartition(":")[0]
+        if "." in path and (
+            "/../" in path or "/./" in path or path.endswith(("/..", "/."))
+        ):
+            path = _remove_dot_segments(path)
+        t = f"{scheme}://{auth}{path}"
+        if _FAST_CANONICAL_RE.match(t):
+            return t
     try:
         joined = urljoin(base, href)
     except ValueError:

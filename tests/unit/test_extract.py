@@ -217,3 +217,46 @@ def test_fast_path_fuzz_differential():
     for _ in range(1500):
         doc = "".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))
         assert extract_one(doc.encode(), BASE) == _extract_reference(doc, BASE), repr(doc)
+
+
+def test_lang_id_py_matches_column_form(spark):
+    """r6: the Python lang-ID used inside parse_extract(with_lang=True)
+    must produce EXACTLY textfuncs.lang_id's value — corpus texts plus
+    adversarial unicode (NBSP must not split: Java \\s is ASCII-only;
+    final sigma / combining marks exercise lower() parity)."""
+    from pyspark.sql import functions as F
+
+    from gpse import synth
+    from gpse.extract import parse_extract
+    from gpse.textfuncs import lang_id, lang_id_py
+
+    texts = [
+        "",
+        "the and of to in is that for with on",
+        "der und die ist nicht ein",
+        "le la les et est pas",
+        "i nie to się jest na",
+        "el la los y es no",
+        "la la la",               # fr/es tie -> earliest lang wins
+        "THE AND OF",             # case folding
+        "the and of",        # NBSP: must NOT split (ASCII-only \s)
+        "the\tand\nof\x0b\x0cis\r",  # every Java \s char
+        "  the   and  ",          # runs + leading/trailing
+        "ΟΔΥΣΣΕΥΣ the and",       # final sigma lowering parity
+        "İstanbul the and",       # dotted capital I
+        "straße für auf mit",     # sharp s + umlauts (de)
+        "x" * 5 + " ✓ no stopwords here at all",
+        "punct, only. the; and?",  # punctuation glued to tokens
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    jvm = [r.l for r in df.select(lang_id(F.col("text")).alias("l")).collect()]
+    py = [lang_id_py(t) for t in texts]
+    assert py == jvm, list(zip(texts, py, jvm))
+
+    # corpus end-to-end: with_lang=True == JVM lang_id over the same text
+    cfg = synth.CorpusCfg(n_pages=150, n_hosts=8, seed=42)
+    pages = synth.gen_pages(spark, cfg, partitions=3).drop("text", "lang")
+    got = parse_extract(pages, with_lang=True).select("url", "text", "lang")
+    chk = got.withColumn("_jvm", lang_id(F.col("text")))
+    bad = chk.filter(F.col("lang") != F.col("_jvm")).count()
+    assert bad == 0

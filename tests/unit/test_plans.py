@@ -179,9 +179,10 @@ def test_similarity_lsh_banded_equi_join(spark):
 
 def test_dedup_new_urls_single_candidate_exchange(spark):
     """The candidate side of dedup_new_urls must shuffle exactly once: the
-    url_hash repartition feeds BOTH the min-agg (grouping keys ⊇ partition
-    key) and the left-anti join, so no second Exchange appears between the
-    aggregate and the join (measured ~2× on the bench round)."""
+    min-agg's own exchange (hashpartitioning on url_hash) feeds the
+    left-anti join too, so no second Exchange appears between the
+    aggregate and the join — and the agg must run PARTIAL map-side (r6:
+    the shuffle moves ~unique candidates, not every exploded link row)."""
     from gpse import seen as seen_mod
 
     cand = (
@@ -195,7 +196,8 @@ def test_dedup_new_urls_single_candidate_exchange(spark):
     )
     seen = spark.range(0, 100).select(F.xxhash64(F.col("id")).alias("url_hash"))
     p = plan_of(seen_mod.dedup_new_urls(cand, seen))
-    # exchanges: one for the candidate repartition, one for the seen side —
-    # and none between the HashAggregate pair and the anti-join
+    # exchanges: one for the candidate agg, one for the seen side — and
+    # none between the HashAggregate pair and the anti-join
     n_exchanges = p.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, p
+    assert "partial_min" in p, p  # map-side combine before the exchange

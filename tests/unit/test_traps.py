@@ -117,3 +117,64 @@ def test_trap_host_absent_from_policy_gets_row(spark):
     assert len(got) == 1 and got[0].host == "trap.example"
     assert set(got[0].disallow) == {"/cal/", "/login"}
     assert got[0].budget_per_round is None  # scheduler default applies
+
+
+def test_apply_trap_policy_preserves_real_host_policy_schema(spark, tmp_path):
+    """VERDICT r05 #3 round-trip: build_host_policy (which carries
+    robots_body) → detect → apply → commit → load must preserve the FULL
+    schema — apply_trap_policy replaces only `disallow`."""
+    from gpse import robots, synth
+    from gpse.catalog import Catalog
+
+    cfg = synth.CorpusCfg(n_pages=50, n_hosts=6, seed=42)
+    policy = robots.build_host_policy(synth.gen_robots(spark, cfg))
+    t = traps.detect_traps(_urls(spark), max_urls_per_template=15)
+    newpol = traps.apply_trap_policy(policy, t)
+    assert newpol.columns == policy.columns  # robots_body included
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.commit("host_policy", newpol, 0, mode="overwrite")
+    back = cat.load(spark, "host_policy")
+    assert set(back.columns) == set(policy.columns)
+    # untouched host keeps its robots_body verbatim
+    want = {r.host: r.robots_body for r in policy.collect()}
+    got = {r.host: r.robots_body for r in back.collect() if r.host in want}
+    assert got == want
+
+
+def test_trap_disallow_rules_per_template_no_cross_product(spark):
+    """ADVICE r05: a host with 2 trap templates must yield one disallow per
+    template (join on host+template), never a 2x2 cross product."""
+    t = traps.detect_traps(_urls(spark), max_urls_per_template=15)
+    joined = t.join(traps.trap_disallow_rules(t), ["host", "template"])
+    rows = joined.select("host", "template", "disallow").collect()
+    assert len(rows) == 2  # one row per template, not 4
+    by_tpl = {r.template: r.disallow for r in rows}
+    assert by_tpl == {
+        "trap.example/cal/{N}/{N}?": "/cal/",
+        "trap.example/login?next&sess": "/login",
+    }
+
+
+def test_apply_trap_policy_never_folds_whole_host_deny(spark):
+    """ADVICE r05 (medium): a digit-rooted template (e.g. /2024/05/x-{N})
+    derives prefix '/', which must NOT be folded into host_policy — that
+    would permanently robots-deny the entire host."""
+    urls = spark.range(0, 40).select(
+        F.concat(
+            F.lit("http://arch.example/20"),
+            (F.col("id") % 25).cast("string"),
+            F.lit("/05/article-"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    )
+    t = traps.detect_traps(urls, max_urls_per_template=15)
+    assert t.count() == 1  # the template itself IS detected...
+    policy = spark.createDataFrame(
+        [("arch.example", None, None, 0, 100)],
+        "host string, disallow array<string>, allow array<string>, "
+        "crawl_delay_ms long, budget_per_round int",
+    )
+    got = traps.apply_trap_policy(policy, t).collect()
+    # ...but no '/' (or '') rule reaches the policy
+    assert len(got) == 1
+    assert not got[0].disallow  # None or empty — nothing folded

@@ -69,3 +69,33 @@ def test_resolve():
     assert resolve_one(base, "") is None
     assert resolve_one(base, "#top") is None
     assert resolve_one(base, "ftp://x.y/z") is None
+
+
+# r6: resolve_one's cheap-transform tail (fragment / case / default port /
+# dot segments, certified by _FAST_CANONICAL_RE) must ALWAYS agree with the
+# urljoin+canonicalize_one reference path it shortcuts.
+abs_href_st = st.builds(
+    lambda scheme, host, port, path, frag: f"{scheme}://{host}{port}{path}{frag}",
+    st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    st.sampled_from(
+        ["h1.example", "H1.EXAMPLE", "Mixed.Example.org", "u:p@h.example",
+         "h.example", "[::1]", "xn--bcher-kva.example"]
+    ),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,4}(/\.\.|/\.)?", fullmatch=True),
+    st.sampled_from(["", "#f", "#frag-7"]),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(abs_href_st)
+def test_resolve_cheap_tail_matches_reference(href):
+    from urllib.parse import urljoin
+
+    from gpse.urlnorm import canonicalize_one as c1
+
+    base = "http://base.example/p/1"
+    got = resolve_one(base, href)
+    joined = urljoin(base, href)
+    want = c1(joined) if joined.startswith(("http://", "https://")) else None
+    assert got == want, href
