@@ -96,9 +96,21 @@ def pages_stages(cores: int) -> dict:
             "bytes", "partition_id", "sched_offset_ms",
         )
         out["fetch_extract_lang_s"] = _noop(spark, "pages: + lang/select", log)
+        # the r6 form: lang computed inside the extraction batch itself
+        parsed_wl = parse_extract(fetched, with_lang=True)
+        log_wl = parsed_wl.select(
+            "url", "warc_ts", "html", "text", "lang",
+            "status", "url_hash", "host", "depth", "src_url_hash", "links",
+            F.size("links").alias("n_links"),
+            F.length("text").alias("text_len"),
+            "bytes", "partition_id", "sched_offset_ms",
+        )
+        out["fetch_extract_withlang_s"] = _noop(
+            spark, "pages: extract with in-batch lang (r6)", log_wl
+        )
         spark.sparkContext.setJobDescription("pages: full parquet commit")
         t0 = time.time()
-        cat.commit("pages", log, 0, mode="append")
+        cat.commit("pages", log_wl, 0, mode="append")
         out["pages_commit_s"] = round(time.time() - t0, 3)
         cleanup()
         sched.unpersist()
@@ -117,8 +129,8 @@ def dedup_stages(cores: int) -> dict:
 
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
-    from gpse import crawl, fetch as fetch_mod, frontier as frontier_mod
-    from gpse import seen as seen_mod, textfuncs
+    from gpse import fetch as fetch_mod, frontier as frontier_mod
+    from gpse import seen as seen_mod
     from gpse.extract import parse_extract
 
     spark, cat, cfg, bodies_path = _setup(cores)
@@ -138,12 +150,9 @@ def dedup_stages(cores: int) -> dict:
             max_broadcast_bytes=cfg.fetch_broadcast_max_bytes,
             batch_rows_hint=n_rows,
         )
-        parsed = parse_extract(fetched).withColumn(
-            "_toks", textfuncs.tokens(F.col("text"))
-        )
+        parsed = parse_extract(fetched, with_lang=True)
         log = parsed.select(
-            "url", "warc_ts", "html", "text",
-            textfuncs.lang_id_from_tokens(F.col("_toks")).alias("lang"),
+            "url", "warc_ts", "html", "text", "lang",
             "status", "url_hash", "host", "depth", "src_url_hash", "links",
             F.size("links").alias("n_links"),
             F.length("text").alias("text_len"),
@@ -194,6 +203,57 @@ def dedup_stages(cores: int) -> dict:
         t0 = time.time()
         cat.commit("frontier", nf, 1, mode="append")
         out["frontier_commit_s"] = round(time.time() - t0, 3)
+        cleanup()
+        sched.unpersist()
+    finally:
+        shutil.rmtree(cat.base, ignore_errors=True)
+        bench._stop(spark)
+    return out
+
+
+def sched_stages(cores: int) -> dict:
+    """Decompose 'schedule + persist': frontier scan → + robots join and
+    allowed eval → j persist+count → keys agg → full schedule_batch with
+    sched persist+count (the run_round stage)."""
+    import shutil
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+    from gpse import frontier as frontier_mod
+
+    spark, cat, cfg, _ = _setup(cores)
+    out: dict = {"cores": cores}
+    try:
+        fr = cat.load(spark, "frontier", 0).filter(F.col("round") == 0)
+        policy = cat.load(spark, "host_policy")
+        out["frontier_scan_s"] = _noop(spark, "sched: frontier scan only", fr)
+        q = fr.filter(F.col("state") == "queued")
+        j = q.join(
+            F.broadcast(
+                policy.select(
+                    "host", "disallow", "allow", "crawl_delay_ms",
+                    "budget_per_round",
+                )
+            ),
+            "host",
+            "left",
+        )
+        al = frontier_mod._with_allowed(j).select(
+            *fr.columns, "allowed", "crawl_delay_ms", "budget_per_round"
+        )
+        out["scan_robots_eval_s"] = _noop(spark, "sched: + robots eval", al)
+        jp = al.persist(StorageLevel.MEMORY_AND_DISK)
+        t0 = time.time()
+        jp.count()
+        out["j_persist_count_s"] = round(time.time() - t0, 3)
+        jp.unpersist()
+        t0 = time.time()
+        sched, _, _, cleanup = frontier_mod.schedule_batch(
+            fr, policy, cfg.batch_size, cfg.num_partitions
+        )
+        sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
+        out["n_scheduled"] = sched.count()
+        out["schedule_batch_full_s"] = round(time.time() - t0, 3)
         cleanup()
         sched.unpersist()
     finally:
@@ -253,6 +313,8 @@ if __name__ == "__main__":
         res = pages_stages(int(sys.argv[2]) if len(sys.argv) > 2 else bench.CPUS)
     elif phase == "dedup_stages":
         res = dedup_stages(int(sys.argv[2]) if len(sys.argv) > 2 else bench.CPUS)
+    elif phase == "sched_stages":
+        res = sched_stages(int(sys.argv[2]) if len(sys.argv) > 2 else bench.CPUS)
     elif phase == "extract_micro":
         res = extract_micro()
     else:

@@ -314,7 +314,7 @@ def dedup_new_urls(
     else:
         cand = candidates.dropDuplicates(keys)
     if blooms is None:
-        return cand.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return cand.join(_seen_build(seen), "url_hash", "left_anti")
 
     # Fixed-nbits blobs have a statically known total (buckets × nbits/8):
     # the caller passes it as a hint so path selection costs ZERO Spark
@@ -390,11 +390,22 @@ def dedup_new_urls(
     return _split_on_maybe(c, seen)
 
 
+def _seen_build(seen: DataFrame) -> DataFrame:
+    """The anti-join's build side: slim url_hash keys, hinted SHUFFLE_HASH
+    (r6). Sort-merge sorts BOTH sides; a shuffled hash join builds a
+    LongHashedRelation per partition from the 8-byte keys instead (~16 B/
+    key — at the 10^10 design point with production shuffle partitioning
+    that is tens of MB per task, well inside executor memory) and streams
+    the candidates unsorted. Measured on the bench round's probe+anti
+    stage; result set identical (join semantics unchanged)."""
+    return seen.select("url_hash").hint("shuffle_hash")
+
+
 def _split_on_maybe(c: DataFrame, seen: DataFrame) -> DataFrame:
     """definitely-new ∪ (maybe-seen ∖ seen_exact)."""
     definitely_new = c.filter(~F.col("_maybe")).drop("_maybe")
     maybe = c.filter(F.col("_maybe")).drop("_maybe")
-    confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+    confirmed_new = maybe.join(_seen_build(seen), "url_hash", "left_anti")
     return definitely_new.unionByName(confirmed_new)
 
 
