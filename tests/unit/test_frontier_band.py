@@ -98,16 +98,21 @@ def test_head_is_small_and_tail_skips_window(spark):
         F.broadcast(pol), "host", "left"
     )
     al = frontier_mod._with_allowed(j).filter(F.col("allowed"))
-    head, tail, cleanup = frontier_mod._split_head(al)
+    auto, boundary, tail, cleanup = frontier_mod._split_head(al)
     try:
-        n_q, n_head, n_tail = q.count(), head.count(), tail.count()
+        n_q = q.count()
+        n_head = (auto.count() if auto is not None else 0) + (
+            boundary.count() if boundary is not None else 0
+        )
+        n_tail = tail.count() if tail is not None else 0
         n_denied = n_q - n_head - n_tail
         assert n_head + n_tail + n_denied == n_q
         # h0 holds ~1500 rows across 5 bands at budget 40: its head is the
         # first band only — the overall head must be a small fraction
         assert n_head < n_q / 2, (n_head, n_q)
-        # head covers every budget: each host's head holds ≥ min(budget,
-        # its allowed rows)
+        # head (auto + boundary) covers every budget: each host's head
+        # holds ≥ min(budget, its allowed rows)
+        head = auto.unionByName(boundary.drop("_m")) if auto is not None else boundary.drop("_m")
         per_host = {
             r["host"]: r["n"]
             for r in head.groupBy("host").agg(F.count("*").alias("n")).collect()
