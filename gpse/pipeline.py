@@ -126,9 +126,11 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id
 def minhash_signatures(
     docs: DataFrame, k: int = MINHASH_K, family: str = "md5"
 ) -> DataFrame:
-    """K min-hash values per doc: explode → K parallel min-aggs, one shuffle.
+    """K min-hash values per doc: explode → K parallel min-aggs (md5 at
+    production K goes through a distinct-shingle dictionary join first —
+    see the k >= 32 branch).
 
-    Two permutation families, same plan shape:
+    Two permutation families, same values per family at any plan shape:
       * 'md5' (default; THE oracle family): permutation i ≙
         md5('i:' || shingle), min taken lexicographically (md5 hex is
         fixed-width, so lexicographic min == numeric min). DuckDB computes
@@ -150,11 +152,50 @@ def minhash_signatures(
             F.min(F.xxhash64(F.lit(i), F.col("_h64"))).alias(f"mh{i}")
             for i in range(k)
         ]
-    else:
-        aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
-            for i in range(k)
-        ]
+        return ex.groupBy("doc_id").agg(*aggs)
+    if k >= 32:
+        # Shingle-dictionary plan for production-size K (r6, guide §2.3
+        # "shuffle keys/metadata instead of payloads" applied to CPU):
+        # shingles repeat across near-duplicate docs (measured 9.6x at
+        # sf0.1: 260k (doc,sh) rows, 27k distinct sh), so hash each
+        # DISTINCT shingle once — K md5s per distinct shingle instead of
+        # per occurrence — and join the K-array back by shingle before
+        # the per-doc min agg. min over a doc's joined rows is the min
+        # over the same value multiset, so the result is bit-identical
+        # (pinned vs the direct plan in tests/unit/test_similarity.py).
+        # The dict side is hinted SHUFFLE_HASH: its rows are wide
+        # (K·33 B) but few, and sort-merge would sort both sides; a
+        # broadcast would ship ~K·33·|dict| bytes through the driver
+        # (measured 4x slower at sf0.1). Direct-plan fallback below for
+        # oracle-size K, where one extra join costs more than the saved
+        # hashing.
+        mh = (
+            ex.select("sh")
+            .distinct()
+            .select(
+                "sh",
+                F.array(
+                    *[
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))
+                        for i in range(k)
+                    ]
+                ).alias("_mhs"),
+            )
+        )
+        return (
+            ex.join(mh.hint("SHUFFLE_HASH"), "sh")
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(F.element_at("_mhs", i + 1)).alias(f"mh{i}")
+                    for i in range(k)
+                ]
+            )
+        )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
     return ex.groupBy("doc_id").agg(*aggs)
 
 

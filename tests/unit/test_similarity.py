@@ -234,3 +234,26 @@ def test_minhash_fast_family_plan_is_jvm_only(spark):
     assert "xxhash64" in plan
     assert "md5" not in plan
     assert "Python" not in plan
+
+
+def test_minhash_md5_dict_plan_matches_direct(spark):
+    """The k>=32 distinct-shingle dictionary plan (r6) must be value-
+    identical to the direct per-occurrence plan: min over a doc's joined
+    dictionary rows is the min over the same md5 multiset."""
+    from pyspark.sql import functions as F
+
+    from gpse.pipeline import exploded_shingles, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    k = 32
+    dict_plan = minhash_signatures(docs, k=k)  # takes the dictionary branch
+    ex = exploded_shingles(docs)
+    direct = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+    a = dict_plan.orderBy("doc_id").collect()
+    b = direct.orderBy("doc_id").collect()
+    assert a == b
