@@ -187,8 +187,24 @@ def _distributed_cap(ok: DataFrame, k: int) -> tuple[float, int] | None:
     return float(p_star), int(h_max)
 
 
-def _with_allowed(j: DataFrame) -> DataFrame:
+def _policy_has_wild():
+    """Per-HOST wildcard flag, evaluated on the (tiny, broadcast) policy
+    side — one array scan per policy row instead of one per queued
+    frontier row (r6; the flag is a function of the rule set alone)."""
+    return F.exists(
+        F.concat(
+            F.coalesce(F.col("disallow"), F.array()),
+            F.coalesce(F.col("allow"), F.array()),
+        ),
+        lambda r: r.contains("*") | r.contains("$"),
+    )
+
+
+def _with_allowed(j: DataFrame, any_wild: bool = True) -> DataFrame:
     """Joined (queued ⋈ policy) rows → + boolean `allowed` column.
+    When `j` carries the policy-side `_has_wild` flag (_policy_has_wild,
+    one eval per policy row) it is used; otherwise the flag is computed
+    inline per row (compatibility path for direct callers).
 
     Robots precedence (RFC 9309: longest match wins, Allow wins ties) is
     pure prefix logic when no rule carries '*'/'$' — the overwhelmingly
@@ -197,14 +213,19 @@ def _with_allowed(j: DataFrame) -> DataFrame:
     split MUST be a filter+union, not when/otherwise: Catalyst extracts
     Python UDFs into an unconditional ArrowEvalPython projection, so a
     UDF inside `otherwise` still executes for every row (verified on the
-    plan)."""
+    plan). With `any_wild=False` (the caller proved NO host has a
+    wildcard rule — one tiny O(policy) job) the union collapses to the
+    plain branch alone: one pass over the queued set instead of two, and
+    no Python-eval stage in the plan at all (r6)."""
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     dis = F.coalesce(F.col("disallow"), F.array())
     alw = F.coalesce(F.col("allow"), F.array())
-    has_wild = F.exists(
-        F.concat(dis, alw),
-        lambda r: r.contains("*") | r.contains("$"),
-    )
+    if "_has_wild" in j.columns:
+        has_wild = F.coalesce(F.col("_has_wild"), F.lit(False))
+    else:
+        has_wild = F.exists(
+            F.concat(dis, alw), lambda r: r.contains("*") | r.contains("$")
+        )
     longest = lambda rules: F.aggregate(  # noqa: E731
         F.filter(rules, lambda d: path.startswith(d)),
         F.lit(0),
@@ -224,11 +245,15 @@ def _with_allowed(j: DataFrame) -> DataFrame:
         & (F.size(alw) == 0)
         & (F.length(F.element_at(dis, 1)) > 0)
     )
-    j_plain = j.filter(F.col("disallow").isNull() | ~has_wild).withColumn(
-        "allowed",
+    plain_allowed = (
         F.when(F.col("disallow").isNull() | (F.size(dis) == 0), F.lit(True))
         .when(single_no_allow, ~path.startswith(F.element_at(dis, 1)))
-        .otherwise(longest(alw) >= longest(dis)),
+        .otherwise(longest(alw) >= longest(dis))
+    )
+    if not any_wild:
+        return j.withColumn("allowed", plain_allowed)
+    j_plain = j.filter(F.col("disallow").isNull() | ~has_wild).withColumn(
+        "allowed", plain_allowed
     )
     j_wild = j.filter(F.col("disallow").isNotNull() & has_wild).withColumn(
         "allowed", R.allowed_udf(path, F.col("disallow"), F.col("allow"))
@@ -380,13 +405,20 @@ def schedule_batch(
     from pyspark import StorageLevel
 
     q = frontier.filter(F.col("state") == "queued")
-    j = q.join(
-        F.broadcast(host_policy.select("host", "disallow", "allow", "crawl_delay_ms", "budget_per_round")),
-        "host",
-        "left",
+    pol = host_policy.select(
+        "host", "disallow", "allow", "crawl_delay_ms", "budget_per_round",
+        _policy_has_wild().alias("_has_wild"),
     )
+    # One tiny O(policy) job decides the plan shape (r6): when NO host has
+    # a '*'/'$' rule — the common corpus, and every synthetic policy — the
+    # robots eval collapses to the single plain branch: ONE pass over the
+    # queued set instead of the two the filter+union pays, and no
+    # ArrowEvalPython stage to plan/compile at all. O(policy) ≪ O(queue);
+    # the answer is a property of the rule set, not of the frontier.
+    any_wild = bool(pol.filter(F.col("_has_wild")).limit(1).count())
+    j = q.join(F.broadcast(pol), "host", "left")
     j = (
-        _with_allowed(j)
+        _with_allowed(j, any_wild=any_wild)
         .select(*frontier.columns, "allowed", "crawl_delay_ms", "budget_per_round")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
