@@ -402,11 +402,26 @@ def _seen_build(seen: DataFrame) -> DataFrame:
 
 
 def _split_on_maybe(c: DataFrame, seen: DataFrame) -> DataFrame:
-    """definitely-new ∪ (maybe-seen ∖ seen_exact)."""
-    definitely_new = c.filter(~F.col("_maybe")).drop("_maybe")
-    maybe = c.filter(F.col("_maybe")).drop("_maybe")
-    confirmed_new = maybe.join(_seen_build(seen), "url_hash", "left_anti")
-    return definitely_new.unionByName(confirmed_new)
+    """definitely-new ∪ (maybe-seen ∖ seen_exact) — in ONE pass (r6).
+
+    The old form filtered `c` into two branches and unioned them, which
+    executed the whole candidate subtree (pages-delta scan → explode →
+    hash → min-agg → pre-filter probe) TWICE — measured as ~half the
+    'dedup + frontier commit' stage wall at every core count (guide
+    §1.2: don't compute things twice). The single left-outer join against
+    the marked seen build evaluates the subtree once; the filter keeps a
+    row iff the pre-filter said definitely-new OR the exact layer has no
+    match — exactly the old union's membership. (A definitely-new row
+    can never match seen_exact — the filters have no false negatives, a
+    property pinned in tests/unit/test_bloom.py — so row multiplicity is
+    unchanged too.) The seen build side and its SHUFFLE_HASH hint are
+    the same; the agg's url_hash partitioning still feeds the join with
+    no extra candidate exchange."""
+    marked = _seen_build(seen).withColumn("_in_seen", F.lit(True))
+    j = c.join(marked, "url_hash", "left")
+    return j.filter(~F.col("_maybe") | F.col("_in_seen").isNull()).drop(
+        "_maybe", "_in_seen"
+    )
 
 
 def _dedup_bucket_probe(
