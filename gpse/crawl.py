@@ -100,6 +100,30 @@ class CrawlCfg:
 # reuse one immutable origin path across many rounds/runs.
 _UNIQUE_CAPTURES_CACHE: dict[tuple, bool] = {}
 
+# per-policy-snapshot memo of "any host has a '*'/'$' robots rule" (r6):
+# the flag picks schedule_batch's robots plan shape and is a property of
+# the committed host_policy generation, so a multi-round crawl pays its
+# tiny O(policy) detection job once per snapshot, not once per round.
+# Keyed on (catalog base, snap_id) — apply_trap_policy commits a NEW
+# host_policy snapshot, which re-detects.
+_POLICY_WILD_CACHE: dict[tuple, bool] = {}
+
+
+def _policy_any_wild(spark, cat: Catalog, policy: DataFrame) -> bool:
+    try:
+        snap = cat.snapshots("host_policy")[-1]["snap_id"]
+    except Exception:  # catalog without snapshot listing → no memo
+        snap = None
+    key = (cat.base, snap)
+    hit = _POLICY_WILD_CACHE.get(key) if snap is not None else None
+    if hit is None:
+        hit = bool(
+            policy.filter(frontier_mod._policy_has_wild()).limit(1).count()
+        )
+        if snap is not None:
+            _POLICY_WILD_CACHE[key] = hit
+    return hit
+
 
 def _corpus_cache_key(path: str) -> tuple:
     """(path, max-mtime-ns, n-files) of the parquet dir — cheap local-fs
@@ -179,6 +203,7 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
         sched, denied, deferred0, sched_cleanup = frontier_mod.schedule_batch(
             fr, policy, cfg.batch_size, cfg.num_partitions,
             band_pruning=cfg.band_pruning,
+            any_wild=_policy_any_wild(spark, cat, policy),
         )
         sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
         n_sched_rows = sched.count()

@@ -372,6 +372,7 @@ def schedule_batch(
     num_partitions: int = 32,
     cap_driver_merge_max: int = CAP_DRIVER_MERGE_MAX,
     band_pruning: bool = True,
+    any_wild: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, "Callable[[], None]"]:
     """(scheduled, denied, deferred, cleanup): the per-round fetch batch,
     the rows the robots rules denied permanently, the budget-overflow rows
@@ -414,8 +415,11 @@ def schedule_batch(
     # robots eval collapses to the single plain branch: ONE pass over the
     # queued set instead of the two the filter+union pays, and no
     # ArrowEvalPython stage to plan/compile at all. O(policy) ≪ O(queue);
-    # the answer is a property of the rule set, not of the frontier.
-    any_wild = bool(pol.filter(F.col("_has_wild")).limit(1).count())
+    # the answer is a property of the rule set, not of the frontier, so
+    # round loops pass it memoized per policy snapshot (crawl.run_round)
+    # and only standalone callers pay the job here.
+    if any_wild is None:
+        any_wild = bool(pol.filter(F.col("_has_wild")).limit(1).count())
     j = q.join(F.broadcast(pol), "host", "left")
     j = (
         _with_allowed(j, any_wild=any_wild)
