@@ -302,11 +302,12 @@ def _split_head(
     split itself is one broadcast cutoff-join + three predicates, a
     single pass over the queued rows.
 
-    Short-circuits (ONE driver action decides — scaling-pair serial time
-    is Amdahl-precious): no boundary anywhere and no tail → everything is
-    auto (no window, nothing deferred at plan level); no boundary but
-    some tail (budget ≤ 0 hosts, or exact-fit bands) → head/tail split
-    with no window."""
+    The split performs NO driver action (r6): the general 3-way plan is
+    correct in every configuration — a frontier with no over-budget band
+    just yields an empty `boundary` (the window runs over nothing) and a
+    no-overflow frontier an empty `tail` — so the former short-circuit
+    probe (a count_if collect picking a simpler plan per round) was pure
+    serial overhead and was removed."""
     a = al.withColumn("_band", F.floor(F.col("priority")).cast("int"))
     wb = (
         Window.partitionBy("host")
@@ -321,28 +322,15 @@ def _split_head(
         .withColumn("_head", F.col("_cum") < F.col("_budc"))
         .persist()
     )
-    tot = keys.agg(
-        F.count_if(~F.col("_head")).alias("n_tail"),
-        F.count_if(
-            F.col("_head") & (F.col("_cum") + F.col("_n") > F.col("_budc"))
-        ).alias("n_boundary"),
-    ).collect()[0]
-    if tot["n_boundary"] == 0 and tot["n_tail"] == 0:
-        # no budget binds anywhere — every allowed row is schedulable
-        keys.unpersist()
-        return al, None, None, (lambda: None)
     cleanup = lambda: keys.unpersist()  # noqa: E731
-    if tot["n_boundary"] == 0:
-        # exact-fit/empty-head hosts only: head is all-auto, no window
-        cuts = keys.filter("_head").groupBy("host").agg(F.max("_band").alias("_maxb"))
-        hb = a.join(F.broadcast(cuts), "host", "left")
-        in_head = F.col("_maxb").isNotNull() & (F.col("_band") <= F.col("_maxb"))
-        return (
-            hb.filter(in_head).drop("_band", "_maxb"),
-            None,
-            hb.filter(~in_head).drop("_band", "_maxb"),
-            cleanup,
-        )
+    # r6: the general 3-way split below is correct in EVERY configuration
+    # (no boundary anywhere → `boundary` is simply empty and the window
+    # runs over nothing; no tail → `tail` empty), so the r6-early
+    # short-circuit probe — one count_if collect per round just to pick a
+    # simpler plan — bought no work avoidance the empty branches don't
+    # already give, while costing a driver action + a compiled query on
+    # every round (serial at every core count). schedule_batch now
+    # performs ZERO driver actions.
     # _maxb null = host whose budget ≤ 0 admits no band at all. _m nonnull
     # iff the host's last head band overflows its budget (the only band
     # where that is possible), so `_band == _maxb AND _m IS NOT NULL`
