@@ -91,6 +91,13 @@ class CrawlCfg:
     # window sorts O(head) instead of O(queue); selection is exactly
     # identical — frontier._split_head). Off switch exists for A/B only.
     band_pruning: bool = True
+    # r6: the round's short-lived caches (robots-evaluated queue, windowed
+    # boundary, scheduled batch, new-frontier part) skip columnar-cache
+    # compression by default — they are read 2–4 times and released within
+    # the round, so the codec build is pure CPU (measured ~1–2 s/round).
+    # Memory-constrained deployments (the cached queue is O(queue) slim
+    # rows, ~2x larger uncompressed) set True to keep Spark's default.
+    cache_compressed: bool = False
 
 
 # per-origin memo of fetch.detect_unique_captures (a corpus property; see
@@ -204,8 +211,10 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
             fr, policy, cfg.batch_size, cfg.num_partitions,
             band_pruning=cfg.band_pruning,
             any_wild=_policy_any_wild(spark, cat, policy),
+            compress_cache=cfg.cache_compressed,
         )
-        sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
+        with frontier_mod.uncompressed_cache(spark, not cfg.cache_compressed):
+            sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
         n_sched_rows = sched.count()
     if cfg.corpus_bodies_path:
         bodies = spark.read.parquet(cfg.corpus_bodies_path)
@@ -308,9 +317,10 @@ def run_round(spark: SparkSession, cat: Catalog, cfg: CrawlCfg, round_n: int) ->
     # window pipeline that enforced the budget.
     deferred = deferred0.withColumn("round", F.lit(round_n + 1).cast("int"))
 
-    new_part = frontier_mod.from_candidates(
-        new_urls, round_n + 1, cfg.n_salts, cfg.depth_weight
-    ).persist()  # slim (no html); seen/bloom deltas come from this only
+    with frontier_mod.uncompressed_cache(spark, not cfg.cache_compressed):
+        new_part = frontier_mod.from_candidates(
+            new_urls, round_n + 1, cfg.n_salts, cfg.depth_weight
+        ).persist()  # slim (no html); seen/bloom deltas come from this only
     # n_new rides the frontier write as an Observation (accumulated during
     # the commit action itself) instead of a separate count job — one less
     # per-round driver job (serial at every core count; r5 scaling work)
